@@ -1,0 +1,76 @@
+"""Pipeline configuration.
+
+Mirrors the knobs of the reference CLI that affect *extraction semantics*
+(/root/reference/run_re.py:2510-2654 defaults) — not training knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Semantic + physical configuration for the NKG construction pipeline.
+
+    Semantic knobs (must match the reference for parity):
+      * ``nary_schema`` — 'hyperrelation' | 'event' | 'role' | 'hypergraph'
+        (reference run_re.py:2525; hyperrelation is the default/primary).
+      * ``max_seq_length`` / ``max_pair_length`` — candidate pruning bounds
+        (run_re.py:2583, 2639). With the identity tokenizer (1 token = 1
+        subword) a sentence longer than ``max_seq_length - 4`` tokens is
+        truncated for candidate purposes exactly like the reference's
+        subword-window arithmetic (run_re.py:490-491, 516-517, 544-545).
+      * ``same_entity`` — keep candidates with repeated spans
+        (run_re.py:2576 ``--sameentity``, default False → drop).
+      * ``log_softmax`` — normalize logits before ensembling
+        (run_re.py:2643 ``--eval_logsoftmax``, default True).
+
+    Physical knobs (Spark-side only; no effect on emitted facts):
+      * ``shuffle_partitions`` — sized to cluster; at 100 TB set to
+        ~2-3x total executor cores.
+      * ``skew_salt_buckets`` — number of salt buckets for the scoring
+        stage on mention-dense sentences (0 disables).
+      * ``score_chunk`` — candidates per scoring batch row group, the
+        analogue of the reference's max_pair_length^2 chunking
+        (run_re.py:563, 577).
+    """
+
+    nary_schema: str = "hyperrelation"
+    max_seq_length: int = 256
+    max_pair_length: int = 32
+    same_entity: bool = False
+    log_softmax: bool = True
+
+    # physical
+    shuffle_partitions: int = 32
+    skew_salt_buckets: int = 8
+    skew_cost_threshold: int = 1000  # E^3 above which the scoring stage salts
+    score_chunk: int = 1024
+
+    # scoring
+    scorer: str = "hash"  # 'hash' | 'gold' | 'model'
+    gold_weight: float = 12.0
+    hash_seed: int = 42
+
+    def __post_init__(self) -> None:
+        if self.nary_schema not in ("hyperrelation", "event", "role", "hypergraph"):
+            raise ValueError(f"unknown nary_schema: {self.nary_schema}")
+
+
+@dataclass(frozen=True)
+class DataGenConfig:
+    """Deterministic synthetic transcript generator settings (seeded).
+
+    Shapes follow FIXTURES.md §1-2: mean ~30 tokens/turn, 2-6 mentions per
+    annotated sentence, 1-3 relations with 1-3 qualifiers each, plus a skew
+    tail of mention-dense turns to exercise salting.
+    """
+
+    n_convs: int = 100
+    turns_per_conv: int = 10
+    seed: int = 42
+    n_rel_labels: int = 6
+    n_qual_labels: int = 5
+    mention_density_skew: float = 0.02  # fraction of turns that are mention-dense
+    dense_mentions: int = 12

@@ -1,0 +1,243 @@
+"""Candidate scoring + decode — the two Arrow UDF families (SURVEY.md §2.9).
+
+Fused path (default for deterministic scorers)
+    One ``mapInPandas`` pass per turn row: enumerate span triples (C3),
+    score (M1-M5 stand-in), 6-permutation ensemble + direction normalize +
+    NMS (D2-D5), project fact texts (G1).  Logits never become Spark rows, so
+    extraction is SHUFFLE-FREE end to end — scan → mapInPandas → facts.
+    This is the 100 TB plan: throughput scales linearly with input splits and
+    there is no wide dependency to skew.
+
+Two-stage path (for expensive model scorers + skew salting)
+    ``score_candidates`` emits one row per span triple with logit arrays —
+    per-(sentence, subject) work units that can be salted/split across
+    executors when a mention-dense sentence would hot-spot a task
+    (SURVEY.md §4 item 1).  ``decode_scores`` then groups by sentence
+    (``applyInPandas``) and runs the identical decode core.  Tests assert the
+    two paths emit byte-identical facts.
+
+Scorers are deterministic numpy (text2nkg_spark/scoring_core.py); a real
+BERT scorer drops into ``score_candidates``'s batch loop (gated import —
+torch/transformers are not shipped here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from text2nkg_spark.candidates import enumerate_triples
+from text2nkg_spark.config import PipelineConfig
+from text2nkg_spark.decode_core import decode_sentence_arrays
+from text2nkg_spark.labels import LabelSpace
+from text2nkg_spark.scoring_core import (
+    gold_logits, gold_orderings, hash_logits, log_softmax)
+
+FACT_SCHEMA = (
+    "conv_id string, turn_idx int, pred_idx int, "
+    "m1s int, m1e int, m2s int, m2e int, rel string, "
+    "m3s int, m3e int, qual string, rel_score double, q_score double, "
+    "subj string, obj string, value string"
+)
+
+SCORE_SCHEMA = (
+    "conv_id string, turn_idx int, cand_idx long, i int, j int, k int, "
+    "m1s int, m1e int, m2s int, m2e int, m3s int, m3e int, "
+    "n_entities int, rel_logits array<double>, q_logits array<double>"
+)
+
+
+def stable_doc_id(conv_id: str) -> int:
+    """Numeric doc key for hash scoring — shared with the test oracle."""
+    if conv_id.startswith("conv") and conv_id[4:].isdigit():
+        return int(conv_id[4:])
+    import zlib
+
+    return zlib.crc32(conv_id.encode("utf-8"))
+
+
+def _sentence_logits(
+    cfg: PipelineConfig,
+    space: LabelSpace,
+    doc_id: int,
+    sent_idx: int,
+    cand: np.ndarray,
+    gold_rels: list | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    triples = cand[:, 4:10]
+    c = space.num_classes
+    if cfg.scorer == "gold":
+        gi = gold_orderings(gold_rels or [], space.label_map())
+        rel, qul = gold_logits(
+            doc_id, sent_idx, triples, c, gi, cfg.hash_seed, cfg.gold_weight)
+    elif cfg.scorer == "hash":
+        rel = hash_logits(doc_id, sent_idx, triples, c, cfg.hash_seed, 0)
+        qul = hash_logits(doc_id, sent_idx, triples, c, cfg.hash_seed, 1)
+    else:
+        raise NotImplementedError(
+            f"scorer '{cfg.scorer}' needs torch/transformers (not shipped); "
+            "use 'hash' or 'gold'")
+    if cfg.log_softmax:
+        rel = log_softmax(rel)
+        qul = log_softmax(qul)
+    return rel, qul
+
+
+def _gold_rel_tuples(rels) -> list:
+    """Normalize a gold relations cell (list of Row/dict) to plain tuples."""
+    out = []
+    for r in rels or []:
+        d = r if isinstance(r, dict) else r.asDict(recursive=True)
+        out.append(
+            (int(d["h_s"]), int(d["h_e"]), int(d["t_s"]), int(d["t_e"]),
+             d["rel"],
+             [(int(q["q_s"]), int(q["q_e"]), q["label"]) for q in d["quals"]]))
+    return out
+
+
+def _mention_array(mentions) -> np.ndarray:
+    if mentions is None or len(mentions) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    rows = [
+        (int(m["start"]), int(m["end"])) if isinstance(m, dict)
+        else (int(m.start), int(m.end))
+        for m in mentions
+    ]
+    return np.asarray(rows, dtype=np.int64)
+
+
+def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
+    """Fused scan→facts extraction.  Input columns: conv_id, turn_idx,
+    tokens (array<string>), mentions (array<struct<start,end>>); plus
+    gold_relations when cfg.scorer == 'gold'.
+    """
+    use_gold = cfg.scorer == "gold"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            gold_col = pdf["gold_relations"] if use_gold else None
+            for r in range(len(pdf)):
+                conv_id = pdf["conv_id"].iat[r]
+                turn_idx = int(pdf["turn_idx"].iat[r])
+                tokens = list(pdf["tokens"].iat[r])
+                ents = _mention_array(pdf["mentions"].iat[r])
+                if ents.shape[0] == 0:
+                    continue
+                cand = enumerate_triples(ents, cfg.max_seq_length)
+                if cand.shape[0] == 0:
+                    continue
+                doc_id = stable_doc_id(conv_id)
+                gold = _gold_rel_tuples(gold_col.iat[r]) if use_gold else None
+                rel_lg, q_lg = _sentence_logits(
+                    cfg, space, doc_id, turn_idx, cand, gold)
+                preds = decode_sentence_arrays(
+                    ents, cand, rel_lg, q_lg, space, cfg.same_entity)
+                for pi, p in enumerate(preds):
+                    m1s, m1e, m2s, m2e, rel, m3s, m3e, qual, sc, qsc = p
+                    out.append(
+                        (conv_id, turn_idx, pi, m1s, m1e, m2s, m2e, rel,
+                         m3s, m3e, qual, sc, qsc,
+                         " ".join(tokens[m1s:m1e + 1]),
+                         " ".join(tokens[m2s:m2e + 1]),
+                         " ".join(tokens[m3s:m3e + 1])))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "conv_id", "turn_idx", "pred_idx", "m1s", "m1e", "m2s",
+                    "m2e", "rel", "m3s", "m3e", "qual", "rel_score",
+                    "q_score", "subj", "obj", "value"],
+            )
+
+    return df.mapInPandas(run, schema=FACT_SCHEMA)
+
+
+def score_candidates(df, cfg: PipelineConfig, space: LabelSpace):
+    """Two-stage scoring: one output row per candidate triple with logits.
+
+    Input as extract_facts_fused.  At scale, follow with
+    ``.repartition(N, 'conv_id', 'turn_idx', 'i')`` (or a salt column) to
+    split mention-dense sentences across executors before a model scorer.
+    """
+    use_gold = cfg.scorer == "gold"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames: list[pd.DataFrame] = []
+            gold_col = pdf["gold_relations"] if use_gold else None
+            for r in range(len(pdf)):
+                conv_id = pdf["conv_id"].iat[r]
+                turn_idx = int(pdf["turn_idx"].iat[r])
+                ents = _mention_array(pdf["mentions"].iat[r])
+                if ents.shape[0] == 0:
+                    continue
+                cand = enumerate_triples(ents, cfg.max_seq_length)
+                if cand.shape[0] == 0:
+                    continue
+                doc_id = stable_doc_id(conv_id)
+                gold = _gold_rel_tuples(gold_col.iat[r]) if use_gold else None
+                rel_lg, q_lg = _sentence_logits(
+                    cfg, space, doc_id, turn_idx, cand, gold)
+                f = pd.DataFrame(
+                    cand,
+                    columns=["cand_idx", "i", "j", "k", "m1s", "m1e", "m2s",
+                             "m2e", "m3s", "m3e"],
+                )
+                f.insert(0, "conv_id", conv_id)
+                f.insert(1, "turn_idx", turn_idx)
+                f["n_entities"] = ents.shape[0]
+                f["rel_logits"] = list(rel_lg)
+                f["q_logits"] = list(q_lg)
+                frames.append(f)
+            cols = ["conv_id", "turn_idx", "cand_idx", "i", "j", "k",
+                    "m1s", "m1e", "m2s", "m2e", "m3s", "m3e",
+                    "n_entities", "rel_logits", "q_logits"]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[cols]
+            else:
+                yield pd.DataFrame(columns=cols)
+
+    return df.mapInPandas(run, schema=SCORE_SCHEMA)
+
+
+def decode_scores(cand_df, cfg: PipelineConfig, space: LabelSpace):
+    """Two-stage decode: group candidate rows per sentence, run the decode
+    core, emit span-level predictions (texts joined back separately).
+    """
+
+    schema = (
+        "conv_id string, turn_idx int, pred_idx int, "
+        "m1s int, m1e int, m2s int, m2e int, rel string, "
+        "m3s int, m3e int, qual string, rel_score double, q_score double"
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id, turn_idx = key[0], int(key[1])
+        pdf = pdf.sort_values("cand_idx", kind="stable")
+        cand = pdf[["cand_idx", "i", "j", "k", "m1s", "m1e", "m2s", "m2e",
+                    "m3s", "m3e"]].to_numpy(dtype=np.int64)
+        rel_lg = np.stack(pdf["rel_logits"].to_numpy())
+        q_lg = np.stack(pdf["q_logits"].to_numpy())
+        e = int(pdf["n_entities"].iat[0])
+        # reconstruct entity spans from candidate rows (subject slots)
+        ents = np.zeros((e, 2), dtype=np.int64)
+        ents[cand[:, 1], 0] = cand[:, 4]
+        ents[cand[:, 1], 1] = cand[:, 5]
+        ents[cand[:, 2], 0] = cand[:, 6]
+        ents[cand[:, 2], 1] = cand[:, 7]
+        preds = decode_sentence_arrays(
+            ents, cand, rel_lg, q_lg, space, cfg.same_entity)
+        rows = [
+            (conv_id, turn_idx, pi, *p[:8], p[8], p[9])
+            for pi, p in enumerate(preds)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "pred_idx", "m1s", "m1e", "m2s",
+                     "m2e", "rel", "m3s", "m3e", "qual", "rel_score",
+                     "q_score"],
+        )
+
+    return cand_df.groupBy("conv_id", "turn_idx").applyInPandas(run, schema)

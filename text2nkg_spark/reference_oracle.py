@@ -1,0 +1,227 @@
+"""Reference-decode oracle — a faithful, dict-based transcription of the
+reference's hyperrelation eval decode (/root/reference/run_re.py:1293-1448),
+fact projection (run_re.py:2351-2392), compaction (2394-2429) and exact-match
+scoring (2431-2505).
+
+This module is deliberately written in the reference's imperative style
+(insertion-ordered dicts, python lists) and is used ONLY in tests/benchmark
+oracles: the Spark pipeline must emit identical facts from identical logits.
+It never runs on executors.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from text2nkg_spark.labels import LabelSpace
+
+Span = tuple[int, int]
+
+
+def decode_sentence(
+    pair_dict: dict[tuple[Span, Span, Span], tuple[list[float], str, list[float], str]],
+    space: LabelSpace,
+    same_entity: bool = False,
+) -> list[tuple[Span, Span, str, Span, str]]:
+    """Decode one sentence's ordered score dict into output_preds.
+
+    ``pair_dict`` must be insertion-ordered by candidate enumeration order and
+    contain all 6 orderings of every unordered span triple (the reference
+    asserts this: run_re.py:1328-1386).
+    Returns the reference's ``output_preds``: (m1, m2, rel_name, m3, qual_name)
+    per surviving NMS item, duplicates included (run_re.py:1493).
+    """
+    label_list = space.label_list
+    q_label_list = space.label_list
+    num_label = space.num_label
+    num_q_label = space.num_label
+    n_sym = 1  # sym_labels == ['NIL']
+
+    def swap(v: list[float]) -> list[float]:
+        return v[:n_sym] + v[num_label:] + v[n_sym:num_label]
+
+    visited: set[tuple[Span, Span, Span]] = set()
+    sentence_results: list[tuple] = []
+
+    for k123, (v123, v1_ner_label, q123, _qn) in pair_dict.items():
+        if k123 in visited:
+            continue
+        visited.add(k123)
+        v = list(v123)
+        q = list(q123)
+        m1, m2, m3 = k123
+
+        # run_re.py:1314-1316 — degenerate triples bail out BEFORE the five
+        # permutation fetches, so only the base key is marked visited.
+        if not same_entity:
+            if m1 == m2 or m2 == m3 or m3 == m1:
+                continue
+
+        k213 = (m2, m1, m3)
+        v213, v2_ner_label, q213, _ = pair_dict[k213]
+        visited.add(k213)
+        v213 = swap(list(v213))
+        v = [a + b for a, b in zip(v, v213)]
+        q = [a + b for a, b in zip(q, q213)]
+
+        k132 = (m1, m3, m2)
+        v132, _, q132, _ = pair_dict[k132]
+        visited.add(k132)
+        v = [a + b for a, b in zip(v, q132)]
+        q = [a + b for a, b in zip(q, v132)]
+
+        k231 = (m2, m3, m1)
+        v231, _, q231, _ = pair_dict[k231]
+        visited.add(k231)
+        v = [a + b for a, b in zip(v, q231)]
+        q = [a + b for a, b in zip(q, swap(list(v231)))]
+
+        k312 = (m3, m1, m2)
+        v312, v3_ner_label, q312, _ = pair_dict[k312]
+        visited.add(k312)
+        v = [a + b for a, b in zip(v, swap(list(q312)))]
+        q = [a + b for a, b in zip(q, v312)]
+
+        k321 = (m3, m2, m1)
+        v321, _, q321, _ = pair_dict[k321]
+        visited.add(k321)
+        v = [a + b for a, b in zip(v, v321)]
+        q = [a + b for a, b in zip(q, swap(list(q321)))]
+
+        pred_label = int(np.argmax(v))
+        q_pred_label = int(np.argmax(q))
+        if pred_label > 0 and q_pred_label > 0:
+            if pred_label >= num_label:
+                pred_label = pred_label - num_label + n_sym
+                m1, m2, m3 = m2, m1, m3
+                v1_ner_label, v2_ner_label = v2_ner_label, v1_ner_label
+
+            if q_pred_label >= num_q_label:
+                m1, m2, m3 = m3, m1, m2
+                temp = pred_label
+                pred_label = q_pred_label - num_q_label + n_sym
+                q_pred_label = temp
+                v1_ner_label, v2_ner_label, v3_ner_label = (
+                    v3_ner_label, v1_ner_label, v2_ner_label)
+
+            if label_list[pred_label].startswith("[k]"):
+                if q_label_list[q_pred_label].startswith("[k]"):
+                    continue
+                m1, m2, m3 = m1, m3, m2
+                pred_label, q_pred_label = q_pred_label, pred_label
+                v1_ner_label, v2_ner_label, v3_ner_label = (
+                    v1_ner_label, v3_ner_label, v2_ner_label)
+
+            if label_list[pred_label].startswith("[r]"):
+                if q_label_list[q_pred_label].startswith("[r]"):
+                    continue
+
+            pred_score = v[pred_label]
+            q_pred_score = q[q_pred_label]
+            sentence_results.append(
+                (pred_score, m1, m2, pred_label, v1_ner_label, v2_ner_label,
+                 q_pred_score, m3, q_pred_label, "Entity"))
+
+    sentence_results.sort(key=lambda x: -x[0])
+
+    def is_overlap(a: Span, b: Span) -> bool:
+        if b[0] <= a[0] <= b[1]:
+            return True
+        if a[0] <= b[0] <= a[1]:
+            return True
+        return False
+
+    no_overlap: list[tuple] = []
+    for item in sentence_results:
+        m1, m2, m3 = item[1], item[2], item[-3]
+        clash = False
+        for x in no_overlap:
+            if (item[3] == x[3] and is_overlap(m1, x[1]) and is_overlap(m2, x[2])
+                    and item[-2] == x[-2] and is_overlap(m3, x[-3])):
+                clash = True
+                break
+        if not clash:
+            no_overlap.append(item)
+
+    output_preds: list[tuple[Span, Span, str, Span, str]] = []
+    for item in no_overlap:
+        output_preds.append(
+            (item[1], item[2], label_list[item[3]], item[-3],
+             q_label_list[item[-2]]))
+    return output_preds
+
+
+def span_text(tokens: list[str], span: Span) -> str:
+    """Space-joined inclusive token slice (run_re.py:2378-2386)."""
+    return " ".join(tokens[span[0]: span[1] + 1])
+
+
+def gran_facts(
+    tokens: list[str],
+    output_preds: list[tuple[Span, Span, str, Span, str]],
+) -> list[str]:
+    """One JSON fact line per prediction (run_re.py:2372-2389)."""
+    out = []
+    for m1, m2, rel, m3, qual in output_preds:
+        hyper = {"N": 3, "relation": rel, "subject": span_text(tokens, m1),
+                 "object": span_text(tokens, m2), qual: [span_text(tokens, m3)]}
+        out.append(json.dumps(hyper))
+    return out
+
+
+def compact_facts(fact_lines: list[str]) -> list[str]:
+    """Merge facts sharing relation+subject+object (run_re.py:2400-2423)."""
+    hy_map: dict[str, list[dict]] = {}
+    for line in fact_lines:
+        d = json.loads(line)
+        rso = d["relation"] + d["subject"] + d["object"]
+        hy_map.setdefault(rso, []).append(d)
+    out = []
+    for _rso, ds in hy_map.items():
+        t_d: dict = {"N": 0}
+        ext = 0
+        for d in ds:
+            for k, v in d.items():
+                if k in t_d and k not in ("relation", "subject", "object", "N"):
+                    t_d[k] += v
+                    ext += 1
+                else:
+                    t_d[k] = v
+        t_d["N"] = len(t_d) - 2 + ext
+        out.append(json.dumps(t_d))
+    return out
+
+
+def gold_compact_facts(
+    tokens: list[str],
+    relations: list[tuple[int, int, int, int, str, list[tuple[int, int, str]]]],
+) -> list[str]:
+    """Gold-side compacted fact strings (run_re.py:2445-2472).
+
+    NOTE the reference accumulates ``att`` across qualifiers of a relation
+    without resetting (run_re.py:2449 initialized outside the loop) — each
+    qualifier value is the concatenation of all earlier qualifier texts in
+    that relation.  Preserved faithfully (known reference quirk).
+    """
+    out = []
+    for hs, he, ts, te, rel, quals in relations:
+        t: dict = {"N": 0}
+        t["relation"] = rel
+        t["subject"] = span_text(tokens, (hs, he))
+        t["object"] = span_text(tokens, (ts, te))
+        ext = 0
+        att = ""
+        for qs, qe, qual in quals:
+            for index in range(qs, qe):
+                att = att + tokens[index] + " "
+            att = att + tokens[qe]
+            if qual in t:
+                t[qual] += [att]
+                ext += 1
+            else:
+                t[qual] = [att]
+        t["N"] = len(t) - 2 + ext
+        out.append(json.dumps(t))
+    return out
