@@ -65,13 +65,22 @@ def gen_turn(cfg: DataGenConfig, conv_num: int, turn_idx: int) -> dict:
 
         n_r = int(rng.integers(1, 4))
         used_ht: set[tuple[int, int]] = set()
+        # the reference decode emits at most ONE fact per unordered span
+        # triple (visited-set semantics, run_re.py:1299-1386), so planted
+        # relations must not share an unordered (h, t, q) mention triple or
+        # recall vs gold is capped below 1 by construction
+        used_triples: set[frozenset[int]] = set()
         for _ in range(n_r):
             n_q = int(rng.integers(1, min(3, n_m - 2) + 1))
             idx = rng.choice(n_m, size=2 + n_q, replace=False)
             h, t = int(idx[0]), int(idx[1])
             if (h, t) in used_ht or (t, h) in used_ht:
                 continue
+            triples = {frozenset((h, t, int(q))) for q in idx[2:]}
+            if any(tr in used_triples for tr in triples):
+                continue
             used_ht.add((h, t))
+            used_triples.update(triples)
             rel = rels[int(rng.integers(len(rels)))]
             qlist = []
             for qi in idx[2:]:

@@ -86,14 +86,18 @@ def _sentence_logits(
 
 
 def _gold_rel_tuples(rels) -> list:
-    """Normalize a gold relations cell (list of Row/dict) to plain tuples."""
+    """Normalize a gold relations cell (ndarray/list of Row/dict) to tuples."""
     out = []
-    for r in rels or []:
+    if rels is None:
+        return out
+    for r in rels:
         d = r if isinstance(r, dict) else r.asDict(recursive=True)
+        quals = d["quals"]
         out.append(
             (int(d["h_s"]), int(d["h_e"]), int(d["t_s"]), int(d["t_e"]),
              d["rel"],
-             [(int(q["q_s"]), int(q["q_e"]), q["label"]) for q in d["quals"]]))
+             [(int(q["q_s"]), int(q["q_e"]), q["label"])
+              for q in (quals if quals is not None else [])]))
     return out
 
 

@@ -1,0 +1,231 @@
+"""A1-A4 / G3 — golden sets, P/R/F1 joins, exact-match compaction scoring.
+
+All native Spark SQL: the golden sets are exploded DataFrames (C1,
+run_re.py:334-364), membership tests are left-semi joins, denominators are
+plain aggregates (run_re.py:269-274), and the scalar P/R/F1 math
+(run_re.py:2310-2320) happens on the driver over a handful of counts.
+
+Scale: gold explodes to 2 rows per relation + 6 per qualifier — linear.
+Pred-vs-gold joins are key-partitioned sort-merge joins; AQE splits skewed
+keys.  Nothing here collects more than the final counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def gold_relation_pairs(gold: DataFrame) -> DataFrame:
+    """Both-direction golden relation set (run_re.py:336-340).
+
+    gold: (conv_id, turn_idx, relations: array<struct<h_s,h_e,t_s,t_e,rel,
+    quals>>) -> rows (conv_id, turn_idx, m1s, m1e, m2s, m2e, rel).
+    """
+    r = gold.select(
+        "conv_id", "turn_idx", F.explode("relations").alias("x"))
+    fwd = r.select(
+        "conv_id", "turn_idx",
+        F.col("x.h_s").alias("m1s"), F.col("x.h_e").alias("m1e"),
+        F.col("x.t_s").alias("m2s"), F.col("x.t_e").alias("m2e"),
+        F.col("x.rel").alias("rel"))
+    inv = r.select(
+        "conv_id", "turn_idx",
+        F.col("x.t_s").alias("m1s"), F.col("x.t_e").alias("m1e"),
+        F.col("x.h_s").alias("m2s"), F.col("x.h_e").alias("m2e"),
+        F.concat(F.col("x.rel"), F.lit("-1")).alias("rel"))
+    return fwd.unionByName(inv).distinct()
+
+
+def gold_qualifier_six(gold: DataFrame) -> DataFrame:
+    """All-6-ordering golden qualifier set (run_re.py:341-364).
+
+    Rows: (conv_id, turn_idx, m1s..m2e, rel, m3s, m3e, qual).
+    """
+    rq = gold.select(
+        "conv_id", "turn_idx", F.explode("relations").alias("x")
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("x.h_s").alias("hs"), F.col("x.h_e").alias("he"),
+        F.col("x.t_s").alias("ts"), F.col("x.t_e").alias("te"),
+        F.col("x.rel").alias("rel"), F.explode("x.quals").alias("q"),
+    ).select(
+        "conv_id", "turn_idx", "hs", "he", "ts", "te", "rel",
+        F.col("q.q_s").alias("qs"), F.col("q.q_e").alias("qe"),
+        F.col("q.label").alias("qual"),
+    )
+    inv = lambda c: F.concat(F.col(c), F.lit("-1"))  # noqa: E731
+
+    def mk(m1s, m1e, m2s, m2e, r, m3s, m3e, q):
+        return rq.select(
+            "conv_id", "turn_idx",
+            F.col(m1s).alias("m1s"), F.col(m1e).alias("m1e"),
+            F.col(m2s).alias("m2s"), F.col(m2e).alias("m2e"),
+            r.alias("rel"),
+            F.col(m3s).alias("m3s"), F.col(m3e).alias("m3e"),
+            q.alias("qual"))
+
+    six = [
+        mk("hs", "he", "ts", "te", F.col("rel"), "qs", "qe", F.col("qual")),
+        mk("ts", "te", "hs", "he", inv("rel"), "qs", "qe", F.col("qual")),
+        mk("hs", "he", "qs", "qe", F.col("qual"), "ts", "te", F.col("rel")),
+        mk("ts", "te", "qs", "qe", F.col("qual"), "hs", "he", inv("rel")),
+        mk("qs", "qe", "hs", "he", inv("qual"), "ts", "te", F.col("rel")),
+        mk("qs", "qe", "ts", "te", F.col("rel"), "hs", "he", inv("qual")),
+    ]
+    out = six[0]
+    for s in six[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def recall_denominators(gold: DataFrame) -> dict[str, int]:
+    """tot_recall / q_tot_recall (run_re.py:269-274)."""
+    row = gold.agg(
+        F.sum(F.size("relations")).alias("tot_recall"),
+        F.sum(
+            F.aggregate(
+                "relations", F.lit(0), lambda a, x: a + F.size(x["quals"]))
+        ).alias("q_tot_recall"),
+    ).collect()[0]
+    return {
+        "tot_recall": int(row["tot_recall"] or 0),
+        "q_tot_recall": int(row["q_tot_recall"] or 0),
+    }
+
+
+def relation_qualifier_prf(preds: DataFrame, gold: DataFrame) -> dict[str, float]:
+    """The reference's headline metrics (run_re.py:2310-2320):
+
+    p/r/f1 on distinct predicted (m1, m2, rel); q_p/q_r/q_f1 on distinct
+    predicted (m1, m2, rel, m3, qual).  ``preds`` is the extraction output.
+    """
+    rel_keys = ["conv_id", "turn_idx", "m1s", "m1e", "m2s", "m2e", "rel"]
+    q_keys = rel_keys + ["m3s", "m3e", "qual"]
+
+    pred_r = preds.select(*rel_keys).distinct()
+    pred_q = preds.select(*q_keys).distinct()
+
+    g_r = gold_relation_pairs(gold)
+    g_q = gold_qualifier_six(gold)
+
+    cor = pred_r.join(g_r, rel_keys, "left_semi").count()
+    tot_pred_r = pred_r.count()
+    q_cor = pred_q.join(g_q, q_keys, "left_semi").count()
+    tot_pred = pred_q.count()
+
+    den = recall_denominators(gold)
+    tot_recall, q_tot_recall = den["tot_recall"], den["q_tot_recall"]
+
+    p = cor / tot_pred_r if tot_pred_r > 0 else 0.0
+    r = cor / tot_recall if tot_recall else 0.0
+    f1 = 2 * p * r / (p + r) if cor > 0 else 0.0
+    q_p = q_cor / tot_pred if tot_pred > 0 else 0.0
+    q_r = q_cor / q_tot_recall if q_tot_recall else 0.0
+    q_f1 = 2 * q_p * q_r / (q_p + q_r) if q_cor > 0 else 0.0
+    return {
+        "p": p, "r": r, "f1": f1,
+        "q_p": q_p, "q_r": q_r, "q_f1": q_f1,
+        "correct_r": cor, "num_r_ans": tot_recall, "num_r_pred": tot_pred_r,
+        "correct_q": q_cor, "num_q_ans": q_tot_recall, "num_q_pred": tot_pred,
+    }
+
+
+def gold_compacted_json(gold_with_tokens: DataFrame) -> DataFrame:
+    """Gold-side canonical compacted-fact JSON (run_re.py:2445-2472),
+    built with higher-order functions only — no UDF, no shuffle.
+
+    Preserves the reference's ``att`` accumulation quirk: qualifier value
+    j is the concatenation of the texts of qualifiers 0..j of that relation
+    (the accumulator string is never reset between qualifiers).
+
+    Input: (conv_id, turn_idx, tokens: array<string>, relations: array<...>).
+    Output: one row per gold relation with ``canonical_json``.
+    """
+    df = gold_with_tokens.select(
+        "conv_id", "turn_idx", "tokens", F.explode("relations").alias("x"))
+
+    piece = lambda q: F.array_join(  # noqa: E731
+        F.slice(
+            F.col("tokens"), q["q_s"] + 1, q["q_e"] - q["q_s"] + 1), " ")
+
+    # att_j = concat of pieces 0..j (no separator) — the reference quirk
+    df = df.withColumn(
+        "atts",
+        F.transform(
+            F.col("x.quals"),
+            lambda q, i: F.concat_ws(
+                "",
+                F.transform(
+                    F.slice(F.col("x.quals"), F.lit(1), i + 1), piece)),
+        ),
+    )
+    # first-occurrence-ordered distinct qualifier labels
+    df = df.withColumn(
+        "qlabels",
+        F.aggregate(
+            F.col("x.quals"),
+            F.array().cast("array<string>"),
+            lambda acc, q: F.when(
+                F.array_contains(acc, q["label"]), acc
+            ).otherwise(F.concat(acc, F.array(q["label"]))),
+        ),
+    )
+    df = df.withColumn(
+        "quals_json",
+        F.array_join(
+            F.transform(
+                "qlabels",
+                lambda lab: F.concat(
+                    F.lit('"'), lab, F.lit('": ["'),
+                    F.array_join(
+                        F.filter(
+                            F.zip_with(
+                                F.col("x.quals"), F.col("atts"),
+                                lambda q, a: F.when(
+                                    q["label"] == lab, a)),
+                            lambda a: a.isNotNull(),
+                        ),
+                        '", "',
+                    ),
+                    F.lit('"]'),
+                ),
+            ),
+            ", ",
+        ),
+    )
+    span_text = lambda s, e: F.array_join(  # noqa: E731
+        F.slice(F.col("tokens"), s + 1, e - s + 1), " ")
+    return df.select(
+        "conv_id", "turn_idx",
+        F.concat(
+            F.lit('{"N": '),
+            (F.lit(2) + F.size(F.col("x.quals"))).cast("int"),
+            F.lit(', "relation": "'), F.col("x.rel"),
+            F.lit('", "subject": "'), span_text(F.col("x.h_s"), F.col("x.h_e")),
+            F.lit('", "object": "'), span_text(F.col("x.t_s"), F.col("x.t_e")),
+            F.lit('", '), F.col("quals_json"), F.lit("}"),
+        ).alias("canonical_json"),
+    )
+
+
+def compaction_exact_match(
+    compacted: DataFrame, gold_json: DataFrame
+) -> dict[str, float]:
+    """G3/A4 — exact-match P/R/F1 at compacted-fact granularity
+    (run_re.py:2474-2505).  The reference counts every (pred, gold) string
+    match within a document; duplicates on either side multiply.
+    """
+    pred = compacted.select("conv_id", "turn_idx", "canonical_json")
+    num_pred = pred.count()
+    num_ans = gold_json.count()
+    match = pred.join(
+        gold_json, ["conv_id", "turn_idx", "canonical_json"], "inner"
+    ).count()
+    p = match / num_pred if num_pred > 0 else 0.0
+    r = match / num_ans if num_ans else 0.0
+    f1 = 2 * p * r / (p + r) if match > 0 else 0.0
+    return {
+        "p_comp": p, "r_comp": r, "f1_comp": f1,
+        "correct_comp": match, "num_pred_comp": num_pred,
+        "num_ans_comp": num_ans,
+    }

@@ -1,0 +1,87 @@
+"""End-to-end NKG construction pipeline (SURVEY.md §7.2 M1).
+
+    transcripts ──assemble──> documents (invariant-checked)
+        │
+        ├──detect_mentions──> turns+mentions      (HOF fold, no shuffle)
+        ├──[gold join]─────> +gold_relations      (only for the gold scorer)
+        ├──extract_facts────> predictions          (fused Arrow UDF, no shuffle)
+        ├──fact tables─────> facts / fact_qualifiers / compacted
+        └──canonicalize────> entities / mention_to_entity
+
+The fused extraction path is scan → mapInPandas → write: the only wide
+operations in the whole pipeline are the compaction groupBy and the optional
+gold join, both key-partitioned and AQE-managed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from text2nkg_spark.config import PipelineConfig
+from text2nkg_spark.labels import LabelSpace, make_synthetic_labels
+from text2nkg_spark.operators.extraction import extract_facts_fused
+from text2nkg_spark.operators.facts import (
+    compacted_facts, fact_table, main_triples, qualifier_triples)
+from text2nkg_spark.operators.mentions import detect_mentions
+
+
+def default_label_space(n_rel: int = 6, n_qual: int = 5) -> LabelSpace:
+    rels, quals = make_synthetic_labels(n_rel, n_qual)
+    return LabelSpace.build(rels, quals)
+
+
+def build_label_space_from_gold(gold: DataFrame) -> LabelSpace:
+    """P5 — label vocab from observed gold labels (distinct + sort, tiny
+    collect; hyperred_data_process.py:420-451 analogue)."""
+    rels = [
+        r[0]
+        for r in gold.select(F.explode("relations").alias("x"))
+        .select(F.col("x.rel").alias("l")).distinct().orderBy("l").collect()
+    ]
+    quals = [
+        r[0]
+        for r in gold.select(F.explode("relations").alias("x"))
+        .select(F.explode("x.quals").alias("q"))
+        .select(F.col("q.label").alias("l")).distinct().orderBy("l").collect()
+    ]
+    return LabelSpace.build(rels, quals)
+
+
+def prepare_sentences(
+    transcripts: DataFrame,
+    gold: DataFrame | None = None,
+) -> DataFrame:
+    """Tokenize + detect mentions; attach gold relations when provided."""
+    df = detect_mentions(transcripts)
+    df = df.select("conv_id", "turn_idx", "tokens", "mentions")
+    if gold is not None:
+        df = df.join(
+            gold.select("conv_id", "turn_idx",
+                        F.col("relations").alias("gold_relations")),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+    return df
+
+
+def extract(
+    transcripts: DataFrame,
+    cfg: PipelineConfig,
+    space: LabelSpace,
+    gold: DataFrame | None = None,
+) -> DataFrame:
+    """transcripts -> prediction rows (the fused path)."""
+    sents = prepare_sentences(
+        transcripts, gold if cfg.scorer == "gold" else None)
+    return extract_facts_fused(sents, cfg, space)
+
+
+def materialize_graph(preds: DataFrame) -> dict[str, DataFrame]:
+    """Prediction rows -> the fact/qualifier/compacted tables."""
+    facts = fact_table(preds)
+    return {
+        "facts": facts,
+        "main_triples": main_triples(facts),
+        "fact_qualifiers": qualifier_triples(facts),
+        "compacted": compacted_facts(facts),
+    }
