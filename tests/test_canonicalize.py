@@ -1,0 +1,86 @@
+"""G4 — MinHash-LSH blocking + connected components."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.operators.canonicalize import (
+    canonicalize_entities, char_shingles, connected_components,
+    lsh_candidate_pairs)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # path-compress fully, then map each node to min of its component
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for r, members in comp.items() for x in members}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_vs_union_find(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 60
+    m = 80
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))
+             if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+    want_map = _union_find(n, edges)
+    nodes_in_edges = {u for e in edges for u in e}
+    want = {(x, want_map[x]) for x in nodes_in_edges}
+    assert got == want
+
+
+def test_shingles(spark):
+    df = spark.range(1).select(
+        char_shingles(F.lit("abcd"), 3).alias("sh"))
+    got = df.collect()[0].sh
+    assert got == ["^ab", "abc", "bcd", "cd$"]
+
+
+def test_lsh_pairs_find_near_duplicates(spark):
+    surfaces = [
+        ("the quick brown fox jumps",),
+        ("the quick brown fox jumped",),  # near-dup of above
+        ("completely different string here",),
+        ("zzz unrelated thing",),
+    ]
+    df = spark.createDataFrame(surfaces, "surface string")
+    pairs = lsh_candidate_pairs(df, jaccard_threshold=0.5).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert ("the quick brown fox jumped", "the quick brown fox jumps") in found
+    assert all("different" not in a and "different" not in b for a, b in found)
+
+
+def test_canonicalize_entities(spark):
+    mentions = [
+        ("c1", 0, 0, 0, "ent1a ent1b"),
+        ("c2", 1, 2, 3, "ent1a ent1b"),
+        ("c1", 2, 0, 0, "ent1a ent1c"),  # near-dup surface
+        ("c3", 0, 4, 4, "ent99a"),
+    ]
+    df = spark.createDataFrame(
+        mentions, "conv_id string, turn_idx int, start int, end int, surface string")
+    out = canonicalize_entities(df, jaccard_threshold=0.4)
+    m2e = {(r.surface, r.entity_id) for r in out["mention_to_entity"].collect()}
+    by_surface = dict(m2e)
+    assert by_surface["ent1a ent1b"] == by_surface["ent1a ent1c"]
+    assert by_surface["ent99a"] != by_surface["ent1a ent1b"]
+    ents = out["entities"].collect()
+    assert {e.n_mentions for e in ents} == {3, 1}

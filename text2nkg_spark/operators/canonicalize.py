@@ -1,0 +1,205 @@
+"""G4 — entity canonicalization: MinHash-LSH blocking + connected components.
+
+Not present in the reference (its eval is span-identity based); mandated by
+the graft north_star: mention strings are clustered into canonical entities
+via MinHash-LSH candidate blocking and join-based connected components
+(large-star/small-star, Kiveris et al., "Connected Components in MapReduce
+and Beyond"), then facts are re-keyed to canonical entity ids.
+
+Everything is native Spark SQL:
+* shingles/minhash — ``transform``/``aggregate`` HOFs over ``xxhash64``
+  (no UDF, no shuffle until the LSH groupBy);
+* LSH banding — one groupBy per run over (band_id, band_hash);
+* components — alternating star iterations, each one self-join + groupBy,
+  with ``localCheckpoint`` every few rounds to cut lineage.  Iteration count
+  is O(log n) — at 10^12 mentions each round is a shuffle sized by the edge
+  list, which LSH keeps near-linear in input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def char_shingles(col, n: int = 3):
+    """Distinct character n-grams of a string, as an array column (HOF)."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(padded) - n, F.lit(0))),
+                lambda i: padded.substr(i + 1, F.lit(n)),
+            ),
+            lambda s: F.length(s) == n,
+        )
+    )
+
+
+def minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
+    """Array of ``num_hashes`` min-hashes via seeded xxhash64 (vectorized)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                shingles_col, lambda s: F.xxhash64(s, h + F.lit(seed)))),
+    )
+
+
+def lsh_candidate_pairs(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate surface pairs (a < b) verified by true Jaccard.
+
+    surfaces: distinct strings, one per row.  Returns (a, b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sh = surfaces.select(
+        F.col(surface_col).alias("s"),
+        char_shingles(F.col(surface_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    banded = sig.select(
+        "s", "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.s") < F.col("r.s")),
+        )
+        .select(
+            F.col("l.s").alias("a"), F.col("r.s").alias("b"),
+            F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    verified = pairs.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sha", "shb"))
+        / F.size(F.array_union("sha", "shb")),
+    ).where(F.col("jaccard") >= jaccard_threshold)
+    return verified.select("a", "b", "jaccard")
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    edges: (src: long, dst: long) undirected.  Returns (node, component)
+    where component is the minimum node id of the component.  Nodes absent
+    from ``edges`` are their own components (callers union singletons).
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        und = e.select("src", "dst").union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        withself = und.union(
+            und.select("src", F.col("src").alias("dst"))).distinct()
+        mins = withself.groupBy("src").agg(F.min("dst").alias("m"))
+        return (
+            und.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+        withself = directed.union(
+            directed.select("src", F.col("src").alias("dst")))
+        mins = withself.groupBy("src").agg(F.min("dst").alias("m"))
+        return (
+            withself.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint()
+    for it in range(max_iter):
+        e2 = small_star(large_star(e)).localCheckpoint()
+        # converged when the edge set is stable
+        if (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        ):
+            e = e2
+            break
+        e = e2
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
+    roots = comp.select(F.col("component").alias("node"),
+                        F.col("component").alias("component")).distinct()
+    return comp.unionByName(roots).dropDuplicates(["node"])
+
+
+def canonicalize_entities(
+    mention_surfaces_df: DataFrame,
+    jaccard_threshold: float = 0.6,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> dict[str, DataFrame]:
+    """Full G4: mentions -> entities + mention_to_entity mapping.
+
+    mention_surfaces_df: (conv_id, turn_idx, start, end, surface).
+    Returns dict with:
+      * entities: (entity_id, canonical_surface, n_surfaces, n_mentions)
+      * mention_to_entity: input columns + entity_id
+    """
+    distinct_surf = mention_surfaces_df.select("surface").distinct()
+    surf_ids = distinct_surf.withColumn("sid", F.xxhash64("surface"))
+
+    pairs = lsh_candidate_pairs(
+        distinct_surf, "surface",
+        num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold)
+    edges = (
+        pairs.join(surf_ids.withColumnRenamed("surface", "a")
+                   .withColumnRenamed("sid", "src"), "a")
+        .join(surf_ids.withColumnRenamed("surface", "b")
+              .withColumnRenamed("sid", "dst"), "b")
+        .select("src", "dst")
+    )
+    comp = connected_components(edges)
+    surf_comp = (
+        surf_ids.join(comp, surf_ids["sid"] == comp["node"], "left")
+        .select(
+            "surface",
+            F.coalesce("component", "sid").alias("entity_id"),
+        )
+    )
+    m2e = mention_surfaces_df.join(surf_comp, "surface")
+    entities = (
+        m2e.groupBy("entity_id")
+        .agg(
+            F.min("surface").alias("canonical_surface"),
+            F.countDistinct("surface").alias("n_surfaces"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+    return {"entities": entities, "mention_to_entity": m2e}
