@@ -1,0 +1,139 @@
+"""Training-data pipeline operators over the driver-provided testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.operators.dedup import (
+    embedding_cosine_pairs, exact_duplicates, minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash64, simhash_pairs, word_shingles)
+from text2nkg_spark.operators.multimodal import (
+    extract_features, media_metadata_stats, synth_media_df)
+from text2nkg_spark.operators.similarity import brute_force_topk, lsh_topk
+from text2nkg_spark.operators.textstats import (
+    detect_language, fingerprint, quality_features, token_counts)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    # duplicate a few docs explicitly
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    groups = exact_duplicates(docs.unionByName(dup)).collect()
+    assert len(groups) >= 5
+    for g in groups:
+        assert g.n_dups >= 2 and g.keeper == min(g.doc_ids)
+
+
+def test_minhash_pairs_vs_exact_jaccard(spark, docs):
+    pairs = minhash_lsh_pairs(docs.limit(200), jaccard_threshold=0.3)
+    rows = pairs.collect()
+    # verify every reported jaccard against a python recomputation
+    texts = {r.doc_id: r.text for r in docs.limit(200).collect()}
+
+    def jac(a, b, n=3):
+        def sh(t):
+            toks = " ".join(t.lower().split()).split(" ")
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    for r in rows:
+        assert abs(r.jaccard - jac(texts[r.a], texts[r.b])) < 1e-9
+        assert r.jaccard >= 0.3
+
+
+def test_simhash_pairs(spark, docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = simhash_pairs(docs.limit(50).unionByName(dup)).collect()
+    found = {(r.a, r.b) for r in pairs}
+    for i in range(3):
+        assert (i, i + 100000) in found
+    for r in pairs:
+        assert r.hamming <= 3
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = ngram_jaccard_pairs(
+        docs.limit(300), block_cols=("lang",), n=2, threshold=0.5)
+    for r in pairs.limit(20).collect():
+        assert r.jaccard >= 0.5
+
+
+def test_embedding_near_dup_and_topk(spark, emb):
+    pairs = embedding_cosine_pairs(emb, threshold=0.9)
+    assert pairs.count() >= 0  # runs and is finite
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5)
+    rows = exact.collect()
+    assert len(rows) == 15
+    # each query's own vector is its top-1 with cosine ~ 1
+    top1 = {r.query_id: (r.vec_id, r.cosine) for r in rows if r.rank == 1}
+    for qid, (vid, cos) in top1.items():
+        assert vid == qid and abs(cos - 1.0) < 1e-6
+
+    approx = lsh_topk(emb, queries, k=5).collect()
+    a_top1 = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    for qid, vid in a_top1.items():
+        assert vid == qid  # same-bucket self always found
+
+
+def test_topk_python_oracle(spark, emb):
+    sub = emb.limit(100).cache()
+    queries = sub.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = brute_force_topk(sub, queries, k=3).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in sub.collect()}
+    for qid in {r.query_id for r in got}:
+        q = vecs[qid]
+        cos = {
+            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in vecs.items()
+        }
+        want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        mine = sorted(
+            [(r.vec_id, r.cosine) for r in got if r.query_id == qid],
+            key=lambda kv: -kv[1])
+        assert [w[0] for w in want] == [m[0] for m in mine]
+        for w, m in zip(want, mine):
+            assert abs(w[1] - m[1]) < 1e-9
+
+
+def test_textstats(spark, docs):
+    out = token_counts(quality_features(detect_language(docs)))
+    out = fingerprint(out)
+    row = out.first()
+    assert row.n_tokens > 0 and 0 <= row.punct_ratio <= 1
+    assert row.ws_tokens == len(row.text.split())
+    assert row.lang_pred in ("en", "de", "es", "fr", "und")
+    # deterministic fingerprints
+    a = {r.doc_id: (r.fp_min, r.fp_max, r.fp_xor) for r in out.limit(20).collect()}
+    b = {r.doc_id: (r.fp_min, r.fp_max, r.fp_xor)
+         for r in fingerprint(docs.limit(20)).collect()}
+    for k in b:
+        assert a[k] == b[k]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_df(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == r.feat_dim == 16 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+    stats = media_metadata_stats(media).collect()
+    assert {s.kind for s in stats} == {"image", "audio", "video"}

@@ -1,0 +1,263 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families are native Spark SQL (no UDFs), designed so every shuffle
+is keyed and bounded:
+
+* exact        — hash-groupBy on normalized content; one shuffle.
+* MinHash-LSH  — word-shingle minhash signatures -> banded buckets ->
+                 bucket-join candidates -> exact-Jaccard verify.  md5-based
+                 hashing (not xxhash) so a DuckDB oracle can reproduce the
+                 signatures byte-for-byte.
+* SimHash      — 64-bit weighted sign-hash; near-dup candidates share one of
+                 four 16-bit chunks (Hamming<=3 within chunks blocking).
+* n-gram Jaccard — exact pairwise Jaccard within cheap blocks
+                 (language + length bucket) for corpora where the pair count
+                 per block stays bounded.
+
+At 100 TB: LSH and SimHash are the scale paths (near-linear); the banded
+self-joins are the only wide ops and AQE handles bucket skew (a hot bucket
+means a dominant near-dup cluster; cap bucket width with a salt-limit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def normalize_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (content_hash, doc_ids,
+    n_dups, keeper) with keeper = min id."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams (space-joined) of a text column."""
+    toks = F.split(normalize_text(col), " ")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _t, i: F.when(
+                    i + n <= F.size(toks),
+                    F.array_join(F.slice(toks, i + 1, n), " ")),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
+def md5_minhash_signature(shingles_col, num_hashes: int):
+    """MinHash via md5 over seed-prefixed shingles (lexicographic min of hex
+    digests) — bit-reproducible in any engine with md5."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                shingles_col,
+                lambda s: F.md5(F.concat(h.cast("string"), F.lit("|"), s)))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, jaccard) via MinHash-LSH."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = base.withColumn("sig", md5_minhash_signature(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "doc_id", "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ",")),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(text_col, bits: int = 64) -> "F.Column":
+    """64-bit SimHash: sign-sum of per-token xxhash64 bits (token-weighted).
+
+    Pure expressions: for each bit position (python-side loop — bit masks
+    must be literals), count tokens whose hash has the bit set vs not;
+    bit := majority.  One pass, no shuffle.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(mask):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda c, h: c + F.when(
+                h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        out = out + F.when(vote(mask) > 0, mask).otherwise(
+            F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit chunks
+    (pigeonhole guarantees recall for Hamming <= 3), verified by exact
+    Hamming distance via bit_count."""
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     simhash64(F.col(text_col)).alias("sh"))
+    chunks = base.select(
+        "doc_id", "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("sh", c * 16)
+                .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                for c in range(4)
+            ])
+        ).alias("chunk_id", "chunk"),
+    )
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 2,
+    threshold: float = 0.4,
+    length_bucket: int = 64,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard within (block_cols, length-bucket) blocks."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(F.col(text_col), n).alias("sh"),
+        (F.length(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
+    ).where(F.size("sh") > 0)
+    keys = list(block_cols) + ["lb"]
+    cond = (F.col("l.doc_id") < F.col("r.doc_id"))
+    for c in keys:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pairs = (
+        base.alias("l").join(base.alias("r"), cond)
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold within blocks.
+
+    The dot product / norms are ``aggregate``/``zip_with`` HOFs — JVM-side,
+    no UDF.  Blocking (label, or an LSH bucket from
+    similarity.hyperplane_bucket) keeps the self-join near-linear.
+    """
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        *([F.col(block_col)] if block_col else []),
+        F.col(vec_col).alias("v"),
+        norm.alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    cond = F.col("l.vec_id") < F.col("r.vec_id")
+    if block_col:
+        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    pairs = base.alias("l").join(base.alias("r"), cond)
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    return (
+        pairs.select(
+            F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"),
+            (dot / (F.col("l.nrm") * F.col("r.nrm"))).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Text analysis operators — language ID, quality scoring, token counting,
+document fingerprinting.  Pure declarative SQL (codegen'd, zero shuffle),
+designed to annotate trillions of documents as a narrow projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans"],
+}
+
+
+def _tokens(col) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def language_scores(text_col) -> Column:
+    """map<lang, stopword-hit-ratio> — the classic cheap langid heuristic."""
+    toks = _tokens(text_col)
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            (F.size(F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in words])))
+             / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+        )
+        for lang, words in _STOPWORDS.items()
+    ]
+    return F.array(*entries)
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred`` + ``lang_score`` (best stopword-ratio language;
+    'und' when nothing scores above zero)."""
+    scored = df.withColumn("_ls", language_scores(F.col(text_col)))
+    best = F.array_max(
+        F.transform("_ls", lambda s: F.struct(
+            s["score"].alias("score"), s["lang"].alias("lang"))))
+    return (
+        scored.withColumn(
+            "lang_pred",
+            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")))
+        .withColumn("lang_score", best["score"])
+        .drop("_ls")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality signals."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    return (
+        df.withColumn("n_chars", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_word_len",
+            F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+            / F.greatest(n_tok, F.lit(1)).cast("double"))
+        .withColumn(
+            "punct_ratio",
+            (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")))
+            / F.greatest(F.length(t), F.lit(1)).cast("double"))
+        .withColumn(
+            "stopword_ratio",
+            F.size(F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in _STOPWORDS["en"]])))
+            / F.greatest(n_tok, F.lit(1)).cast("double"))
+        .withColumn(
+            "uniq_token_ratio",
+            F.size(F.array_distinct(toks))
+            / F.greatest(n_tok, F.lit(1)).cast("double"))
+        .withColumn(
+            "quality_score",
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.4
+            + F.col("uniq_token_ratio") * 0.4
+            + (F.lit(1.0) - F.col("punct_ratio")) * 0.2)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (regex pieces:
+    letter-runs, digit-runs, and single non-alnum marks, ~GPT-2 pretokens)."""
+    t = F.col(text_col)
+    pieces = F.regexp_extract_all(
+        F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return (
+        df.withColumn("ws_tokens", F.size(_tokens(t)))
+        .withColumn("subword_pieces", F.size(pieces))
+        .withColumn(
+            "est_bpe_tokens",
+            (F.col("subword_pieces")
+             + F.aggregate(
+                 pieces, F.lit(0),
+                 lambda a, p: a + F.when(F.length(p) > 6, 1).otherwise(0))))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: min + max + xor of rolling
+    word-n-gram hashes — order-insensitive, locality-sensitive enough for
+    shard-level regression diffs."""
+    toks = _tokens(F.col(text_col))
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _x, i: F.when(
+                i + n <= F.size(toks),
+                F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " "))),
+        ),
+        lambda h: h.isNotNull(),
+    )
+    return (
+        df.withColumn("fp_min", F.array_min(grams))
+        .withColumn("fp_max", F.array_max(grams))
+        .withColumn(
+            "fp_xor",
+            F.aggregate(grams, F.lit(0).cast("long"),
+                        lambda a, h: a.bitwiseXOR(h)))
+    )
