@@ -1,38 +1,728 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship NKG extraction over transcripts derived from the
+sf0.001 documents table (dictionary mention detection -> hash-scored span
+triples -> 6-permutation ensemble decode -> facts).
+
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+training-data ops); each callable takes (spark, sf_dir) and returns a
+DataFrame.  ``oracle_sql()`` holds DuckDB-equivalent SQL for every
+SQL-expressible query; the model-scored extraction stages, LSH/simhash
+pair generation (xxhash64-based) and multimodal UDF plumbing are rows-only
+checks backed by exact pytest oracles instead (tests/).
+
+Float-stability policy for oracle parity: money aggregates run in DECIMAL
+(exact in both engines), ratios divide identical integers, means are
+rounded, rankings emit integer ranks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# mention dictionary for the public corpus (documents.parquet word vocab)
+_DICT = ("spark", "join", "merge", "scan")
+_DICT_SQL = "('spark', 'join', 'merge', 'scan')"
+
+_N_CONVS = 100  # doc_id % _N_CONVS -> conv bucket for derived transcripts
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts view over the documents table (same shape
+    as BASELINE.json input_hint), reproducible in ANSI SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("conv"), (F.col("doc_id") % _N_CONVS).cast("string")
+                 ).alias("conv_id"),
+        F.floor(F.col("doc_id") / _N_CONVS).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("doc_id") * 60).alias("ts"),
+    )
+
+
+_TRANSCRIPTS_CTE = f"""
+transcripts AS (
+  SELECT 'conv' || CAST(doc_id % {_N_CONVS} AS VARCHAR) AS conv_id,
+         CAST(doc_id // {_N_CONVS} AS INT) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text
+  FROM documents
+)
+"""
+
+
+def _dict_pred(t):
+    return t.isin(*_DICT)
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full NKG extraction on sf0.001-derived transcripts."""
+    from text2nkg_spark.config import PipelineConfig
+    from text2nkg_spark.operators.extraction import extract_facts_fused
+    from text2nkg_spark.operators.mentions import detect_mentions
+    from text2nkg_spark.plans.pipeline import default_label_space
+
+    tr = _derived_transcripts(spark, "/root/testdata/sf0.001")
+    sents = detect_mentions(tr, predicate=_dict_pred).select(
+        "conv_id", "turn_idx", "tokens", "mentions")
+    cfg = PipelineConfig(scorer="hash")
+    return extract_facts_fused(sents, cfg, default_label_space())
+
+
+# --------------------------------------------------------------------------
+# NKG pipeline queries
+# --------------------------------------------------------------------------
+
+def q_nkg_doc_assembly(spark, sf_dir):
+    from text2nkg_spark.operators.assembly import assemble_documents
+
+    tr = _derived_transcripts(spark, sf_dir)
+    return assemble_documents(tr).select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "doc_text",
+    )
+
+
+def q_nkg_turn_invariant(spark, sf_dir):
+    from text2nkg_spark.operators.assembly import (
+        assemble_documents, turn_equality_violations)
+
+    tr = _derived_transcripts(spark, sf_dir)
+    docs = assemble_documents(tr)
+    v = turn_equality_violations(tr, docs).agg(
+        F.count(F.lit(1)).cast("long").alias("mismatches"))
+    t = tr.agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    return v.crossJoin(t)
+
+
+def q_nkg_mentions(spark, sf_dir):
+    from text2nkg_spark.operators.mentions import (
+        detect_mentions, mention_surfaces)
+
+    tr = _derived_transcripts(spark, sf_dir)
+    det = detect_mentions(tr, predicate=_dict_pred)
+    return mention_surfaces(det).select(
+        "conv_id", "turn_idx",
+        F.col("start").cast("int").alias("start"),
+        F.col("end").cast("int").alias("end"),
+        "surface",
+    )
+
+
+def q_nkg_extract_facts(spark, sf_dir):
+    """Hash-scored extraction on derived transcripts (rows-only check;
+    exact decode parity is pytest-asserted against the reference oracle)."""
+    from text2nkg_spark.config import PipelineConfig
+    from text2nkg_spark.operators.extraction import extract_facts_fused
+    from text2nkg_spark.operators.mentions import detect_mentions
+    from text2nkg_spark.plans.pipeline import default_label_space
+
+    tr = _derived_transcripts(spark, sf_dir)
+    sents = detect_mentions(tr, predicate=_dict_pred).select(
+        "conv_id", "turn_idx", "tokens", "mentions")
+    return extract_facts_fused(
+        sents, PipelineConfig(scorer="hash"), default_label_space())
+
+
+def q_nkg_gold_pipeline(spark, sf_dir):
+    """Gold-scored extraction on synthesized transcripts + P/R counters
+    (rows-only; the >=0.95 parity bound is asserted in tests)."""
+    from text2nkg_spark.config import DataGenConfig, PipelineConfig
+    from text2nkg_spark.datagen import gen_gold_pdf, gen_transcripts_pdf
+    from text2nkg_spark.operators.metrics import relation_qualifier_prf
+    from text2nkg_spark.plans.pipeline import (
+        build_label_space_from_gold, extract)
+
+    gen = DataGenConfig(n_convs=60, turns_per_conv=6, seed=13)
+    tr = spark.createDataFrame(gen_transcripts_pdf(gen))
+    gold = spark.createDataFrame(
+        gen_gold_pdf(gen),
+        schema="conv_id string, turn_idx int, "
+               "mentions array<struct<start:int,end:int>>, "
+               "relations array<struct<h_s:int,h_e:int,t_s:int,t_e:int,"
+               "rel:string,quals:array<struct<q_s:int,q_e:int,label:string>>>>")
+    cfg = PipelineConfig(scorer="gold")
+    preds = extract(tr, cfg, build_label_space_from_gold(gold), gold=gold)
+    m = relation_qualifier_prf(preds, gold)
+    return spark.createDataFrame(
+        [(float(m["p"]), float(m["r"]), float(m["q_p"]), float(m["q_r"]),
+          int(m["correct_q"]), int(m["num_q_ans"]))],
+        "p double, r double, q_p double, q_r double, "
+        "correct_q long, num_q_ans long")
+
+
+def q_nkg_compacted(spark, sf_dir):
+    """Compacted n-ary facts (G2) over the hash-scored extraction."""
+    from text2nkg_spark.operators.facts import compacted_facts, fact_table
+
+    preds = q_nkg_extract_facts(spark, sf_dir)
+    return compacted_facts(fact_table(preds)).select(
+        "conv_id", "turn_idx", "rel", "subj", "obj", "N", "canonical_json")
+
+
+def q_nkg_entities(spark, sf_dir):
+    """G4 canonicalization over detected mention surfaces (rows-only)."""
+    from text2nkg_spark.operators.canonicalize import canonicalize_entities
+    from text2nkg_spark.operators.mentions import (
+        detect_mentions, mention_surfaces)
+
+    tr = _derived_transcripts(spark, sf_dir)
+    surf = mention_surfaces(detect_mentions(tr, predicate=_dict_pred))
+    out = canonicalize_entities(surf)
+    return out["entities"].select(
+        "entity_id", "canonical_surface",
+        F.col("n_surfaces").cast("long").alias("n_surfaces"),
+        F.col("n_mentions").cast("long").alias("n_mentions"))
+
+
+# --------------------------------------------------------------------------
+# relational / standard operators (SURVEY §2.9 checklist) on TPC-H-ish data
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    out = (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.round(F.col("sum_qty") / F.col("count_order"), 4))
+    )
+    return out
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda x: F.col(x).cast("decimal(18,4)")  # noqa: E731
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                "n_sessions", "n_events")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+            .alias("hour"),
+            "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops on documents / embeddings
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.md5(F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 30))
+    return (
+        d.select(F.col("doc_id"), key.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("keeper"))
+    )
+
+
+def q_dedup_minhash_signature(spark, sf_dir):
+    from text2nkg_spark.operators.dedup import (
+        md5_minhash_signature, word_shingles)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    sig = base.withColumn("sig", md5_minhash_signature(F.col("sh"), 2))
+    return sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at("sig", 1).alias("sig0"),
+        F.element_at("sig", 2).alias("sig1"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from text2nkg_spark.operators.textstats import quality_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_features(d.select("doc_id", "text"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("uniq_token_ratio", 6).alias("uniq_token_ratio"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    from text2nkg_spark.operators.textstats import detect_language
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = detect_language(d.select("doc_id", "text"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang_pred",
+        F.round("lang_score", 6).alias("lang_score"),
+    )
+
+
+def q_text_token_counts(spark, sf_dir):
+    from text2nkg_spark.operators.textstats import token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(d.select("doc_id", "text")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("subword_pieces").cast("long").alias("subword_pieces"),
+        F.col("est_bpe_tokens").cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _x, i: F.when(
+                i + 5 <= F.size(toks),
+                F.md5(F.array_join(F.slice(toks, i + 1, 5), " ")))),
+        lambda h: h.isNotNull())
+    return (
+        d.select("doc_id", grams.alias("g"))
+        .where(F.size("g") > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_min("g").alias("fp_min"),
+            F.array_max("g").alias("fp_max"))
+    )
+
+
+def q_emb_topk(spark, sf_dir):
+    from text2nkg_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    from text2nkg_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_pairs(emb, threshold=0.8).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """xxhash64-based SimHash (rows-only: no xxhash64 in DuckDB)."""
+    from text2nkg_spark.operators.dedup import simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(d, max_hamming=6)
+
+
+def q_similarity_lsh_topk(spark, sf_dir):
+    from text2nkg_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, queries, k=10)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from text2nkg_spark.operators.multimodal import (
+        extract_features, synth_media_df)
+
+    return extract_features(synth_media_df(spark, n=64))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # NKG pipeline
+        "nkg_doc_assembly": q_nkg_doc_assembly,
+        "nkg_turn_invariant": q_nkg_turn_invariant,
+        "nkg_mentions": q_nkg_mentions,
+        "nkg_extract_facts": q_nkg_extract_facts,
+        "nkg_gold_pipeline": q_nkg_gold_pipeline,
+        "nkg_compacted": q_nkg_compacted,
+        "nkg_entities": q_nkg_entities,
+        # relational operator checklist
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_sessionize": q_events_sessionize,
+        "events_hourly": q_events_hourly,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signature": q_dedup_minhash_signature,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "emb_topk": q_emb_topk,
+        "emb_neardup": q_emb_neardup,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_STOP_EN = "['the','and','of','to','a','in','is','it','that','was']"
+_LANGS_SQL = """
+  ('en', ['the','and','of','to','a','in','is','it','that','was']),
+  ('de', ['der','die','das','und','ist','ein','nicht','mit','auf']),
+  ('es', ['el','la','de','que','y','en','un','es','por','con']),
+  ('fr', ['le','la','de','et','un','est','pour','que','dans'])
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "nkg_doc_assembly": f"""
+            WITH {_TRANSCRIPTS_CTE}
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg(text, ' ' ORDER BY turn_idx) AS doc_text
+            FROM transcripts GROUP BY conv_id
+        """,
+        "nkg_turn_invariant": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            docs AS (
+              SELECT conv_id,
+                     list(struct_pack(turn_idx := turn_idx, text := text)
+                          ORDER BY turn_idx) AS turns
+              FROM transcripts GROUP BY conv_id),
+            rt AS (
+              SELECT conv_id, unnest(turns) AS r FROM docs),
+            flat AS (
+              SELECT conv_id, r.turn_idx AS turn_idx, r.text AS text FROM rt)
+            SELECT
+              CAST((SELECT count(*) FROM transcripts s
+                    JOIN flat f USING (conv_id, turn_idx)
+                    WHERE s.text IS DISTINCT FROM f.text) AS BIGINT)
+                AS mismatches,
+              CAST((SELECT count(*) FROM transcripts) AS BIGINT) AS n_turns
+        """,
+        "nkg_mentions": f"""
+            WITH {_TRANSCRIPTS_CTE},
+            tok AS (
+              SELECT conv_id, turn_idx,
+                     CAST(unnest(range(len(string_split(text,' ')))) AS INT) AS pos,
+                     unnest(string_split(text,' ')) AS tk
+              FROM transcripts),
+            m AS (SELECT * FROM tok WHERE tk IN {_DICT_SQL}),
+            f AS (
+              SELECT conv_id, turn_idx, pos, tk,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                               OR pos - lag(pos) OVER w > 1
+                          THEN 1 ELSE 0 END AS new_run
+              FROM m
+              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)),
+            g AS (
+              SELECT *, sum(new_run) OVER
+                     (PARTITION BY conv_id, turn_idx ORDER BY pos) AS run_id
+              FROM f)
+            SELECT conv_id, turn_idx,
+                   CAST(min(pos) AS INT) AS start,
+                   CAST(max(pos) AS INT) AS "end",
+                   string_agg(tk, ' ' ORDER BY pos) AS surface
+            FROM g GROUP BY conv_id, turn_idx, run_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*), 4) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_orders_per_customer": """
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(rn AS INT) AS rn
+            FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn
+              FROM orders)
+            WHERE rn <= 3
+        """,
+        "events_sessionize": """
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS session_id
+              FROM s)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT md5(substr(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), 1, 30))
+                     AS content_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS keeper
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_signature": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       AS shingles
+              FROM base WHERE len(toks) >= 3)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_aggregate(list_transform(shingles,
+                     s -> md5('0|' || s)), 'min') AS sig0,
+                   list_aggregate(list_transform(shingles,
+                     s -> md5('1|' || s)), 'min') AS sig1
+            FROM sh
+        """,
+        "text_quality": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CAST(list_sum(list_transform(toks, t -> len(t)))
+                              AS DOUBLE) / greatest(len(toks), 1), 6)
+                     AS mean_word_len,
+                   round(CAST(len(text) - len(regexp_replace(text,
+                         '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / greatest(len(text), 1), 6) AS punct_ratio,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / greatest(len(toks), 1), 6) AS uniq_token_ratio
+            FROM base
+        """,
+        "text_langid": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents),
+            langs(lang, words) AS (VALUES {_LANGS_SQL}),
+            scored AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_intersect(list_distinct(toks), words))
+                          AS DOUBLE) / greatest(len(toks), 1) AS score
+              FROM base CROSS JOIN langs),
+            ranked AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang DESC) AS rn
+              FROM scored)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+                   round(score, 6) AS lang_score
+            FROM ranked WHERE rn = 1
+        """,
+        "text_token_counts": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks,
+                     regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS pieces
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(toks) AS BIGINT) AS ws_tokens,
+                   CAST(len(pieces) AS BIGINT) AS subword_pieces,
+                   CAST(len(pieces)
+                        + len(list_filter(pieces, p -> len(p) > 6))
+                        AS BIGINT) AS est_bpe_tokens
+            FROM base
+        """,
+        "text_fingerprint": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(toks) - 3),
+                       i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                          toks[i+3], toks[i+4]))) AS grams
+              FROM base WHERE len(toks) >= 5)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_aggregate(grams, 'min') AS fp_min,
+                   list_aggregate(grams, 'max') AS fp_max
+            FROM g
+        """,
+        "emb_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+            scored AS (
+              SELECT query_id, vec_id,
+                     list_cosine_similarity(qv, cv) AS cosine
+              FROM q CROSS JOIN c),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "emb_neardup": """
+            WITH e AS (
+              SELECT vec_id, label, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings
+              WHERE list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)
+            SELECT CAST(l.vec_id AS BIGINT) AS a,
+                   CAST(r.vec_id AS BIGINT) AS b
+            FROM e l JOIN e r
+              ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE list_sum(list_transform(
+                    list_zip(l.embedding, r.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (l.nrm * r.nrm) >= 0.8
+        """,
+    }

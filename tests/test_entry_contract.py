@@ -1,0 +1,74 @@
+"""Driver-contract harness: every queries() entry runs; every oracle_sql()
+entry matches the Spark result (row count + columns + order-insensitive
+values), mimicking the driver's DuckDB comparison."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rows_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_runs(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_oracle_matches(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = list(df.columns)
+
+    con = _duck(SF)
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} vs {len(duck_rows)}")
+    a = _rows_multiset(spark_cols, spark_rows)
+    b = _rows_multiset(duck_cols, duck_rows)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+    assert a == b, f"{name}: first mismatches {[(a[i], b[i]) for i in mism]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "rel" in df.columns and "subj" in df.columns

@@ -32,15 +32,20 @@ def with_tokens(turns: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def detect_mentions(turns: DataFrame, text_col: str = "text") -> DataFrame:
+def detect_mentions(
+    turns: DataFrame, text_col: str = "text", predicate=None
+) -> DataFrame:
     """Adds ``mentions: array<struct<start:int, end:int>>`` (inclusive ends).
 
     Single-pass fold over the token array: accumulate runs of marker tokens,
     extending the last run when the next marker index is contiguous.
+    ``predicate`` (Column -> Column bool) selects marker tokens; defaults to
+    the synthetic ``ent`` prefix.
     """
+    pred = predicate or _is_mention_token
     df = with_tokens(turns, text_col)
     idx = F.filter(
-        F.transform("tokens", lambda t, i: F.when(_is_mention_token(t), i).otherwise(F.lit(-1))),
+        F.transform("tokens", lambda t, i: F.when(pred(t), i).otherwise(F.lit(-1))),
         lambda i: i >= 0,
     )
     runs = F.aggregate(
@@ -70,15 +75,18 @@ def detect_mentions(turns: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("mentions", runs)
 
 
-def detect_mentions_exploded(turns: DataFrame, text_col: str = "text") -> DataFrame:
+def detect_mentions_exploded(
+    turns: DataFrame, text_col: str = "text", predicate=None
+) -> DataFrame:
     """Explode + window islands formulation (test oracle for the fold).
 
     Returns (conv_id, turn_idx, start, end, surface) one row per mention.
     """
+    pred = predicate or _is_mention_token
     df = with_tokens(turns, text_col)
     tok = df.select(
         "conv_id", "turn_idx", F.posexplode("tokens").alias("pos", "tok")
-    ).where(_is_mention_token(F.col("tok")))
+    ).where(pred(F.col("tok")))
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
     tok = tok.withColumn("prev", F.lag("pos").over(w))
     tok = tok.withColumn(
