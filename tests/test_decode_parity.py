@@ -131,3 +131,21 @@ def test_score_values_match_oracle():
     assert len(got) == len(want)
     # spot-check scores are finite and ordered non-increasing up to NMS order
     assert all(np.isfinite(g[8]) and np.isfinite(g[9]) for g in got)
+
+
+@pytest.mark.parametrize("e", [3, 4, 5, 6, 8, 12])
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_fast_decode_equals_loop(e, seed):
+    """Vectorized fast-path decode == loop decode, bit-for-bit."""
+    from text2nkg_spark.decode_core import (
+        decode_sentence_arrays, decode_sentence_fast)
+
+    space = _space()
+    rng = np.random.default_rng(1000 + seed)
+    ents = _random_entities(rng, e)
+    cand = enumerate_triples(ents, 256)
+    rel_lg = log_softmax(hash_logits(21, 5, cand[:, 4:10], space.num_classes, seed, 0))
+    q_lg = log_softmax(hash_logits(21, 5, cand[:, 4:10], space.num_classes, seed, 1))
+    fast = decode_sentence_fast(ents, cand, rel_lg, q_lg, space)
+    loop = decode_sentence_arrays(ents, cand, rel_lg, q_lg, space)
+    assert fast == loop

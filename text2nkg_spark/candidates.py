@@ -52,6 +52,21 @@ def enumerate_triples(
 
     keep_sub = (ends + 3) < (max_seq_length - 1)
 
+    # fast path — nothing pruned (the overwhelmingly common case): the
+    # full E^3 cross product in one vectorized shot, already in
+    # (i, j, k)-lexicographic enumeration order
+    if bool(keep_sub.all()) and bool(
+        ((ends + 3) < (max_seq_length - 1)).all()
+    ):
+        idx = np.arange(e, dtype=np.int64)
+        ii = np.repeat(idx, e * e)
+        jj = np.tile(np.repeat(idx, e), e)
+        kk = np.tile(idx, e * e)
+        cand = (ii * e + jj) * e + kk
+        return np.column_stack(
+            [cand, ii, jj, kk,
+             starts[ii], ends[ii], starts[jj], ends[jj], starts[kk], ends[kk]])
+
     rows: list[np.ndarray] = []
     for i in range(e):
         if not keep_sub[i]:

@@ -72,6 +72,124 @@ def ensemble_tensors(
     return v, qc, present
 
 
+def _nms(results: list[tuple], label_list: list[str]) -> list[tuple]:
+    """Stable-sort + greedy NMS + projection (run_re.py:1422-1493 tail)."""
+    if not results:
+        return []
+    scores = np.array([r[0] for r in results])
+    order = np.argsort(-scores, kind="stable")
+
+    k_m1s = []; k_m1e = []; k_m2s = []; k_m2e = []  # noqa: E702
+    k_m3s = []; k_m3e = []; k_rel = []; k_q = []  # noqa: E702
+    kept: list[tuple] = []
+    for oi in order:
+        item = results[int(oi)]
+        m1, m2, m3 = item[1], item[2], item[5]
+        if kept:
+            a1s = np.array(k_m1s); a1e = np.array(k_m1e)  # noqa: E702
+            a2s = np.array(k_m2s); a2e = np.array(k_m2e)  # noqa: E702
+            a3s = np.array(k_m3s); a3e = np.array(k_m3e)  # noqa: E702
+            ov1 = ((a1s <= m1[0]) & (m1[0] <= a1e)) | (
+                (m1[0] <= a1s) & (a1s <= m1[1]))
+            ov2 = ((a2s <= m2[0]) & (m2[0] <= a2e)) | (
+                (m2[0] <= a2s) & (a2s <= m2[1]))
+            ov3 = ((a3s <= m3[0]) & (m3[0] <= a3e)) | (
+                (m3[0] <= a3s) & (a3s <= m3[1]))
+            clash = (
+                (np.array(k_rel) == item[3]) & ov1 & ov2
+                & (np.array(k_q) == item[6]) & ov3
+            ).any()
+            if clash:
+                continue
+        kept.append(item)
+        k_m1s.append(m1[0]); k_m1e.append(m1[1])  # noqa: E702
+        k_m2s.append(m2[0]); k_m2e.append(m2[1])  # noqa: E702
+        k_m3s.append(m3[0]); k_m3e.append(m3[1])  # noqa: E702
+        k_rel.append(item[3]); k_q.append(item[6])  # noqa: E702
+
+    out = []
+    for score, m1, m2, pred, q_score, m3, q_pred in kept:
+        out.append(
+            (m1[0], m1[1], m2[0], m2[1], label_list[pred],
+             m3[0], m3[1], label_list[q_pred], score, q_score))
+    return out
+
+
+def decode_sentence_fast(
+    entities: np.ndarray,
+    cand: np.ndarray,
+    rel_lg: np.ndarray,
+    q_lg: np.ndarray,
+    space: LabelSpace,
+    strict: bool = True,
+) -> list[tuple]:
+    """Vectorized decode for the full-grid case (cand covers all E^3
+    orderings and entity spans are distinct).  Anchors are exactly the
+    i<j<k index triples in lexicographic order (= first-encountered
+    orientation under the reference's insertion-ordered dict walk); the
+    direction normalization runs as numpy masks.  Bit-identical to
+    :func:`decode_sentence_arrays` (tests assert)."""
+    e = entities.shape[0]
+    if e < 3 or cand.shape[0] != e * e * e:
+        return decode_sentence_arrays(
+            entities, cand, rel_lg, q_lg, space, same_entity=False,
+            strict=strict)
+    v, qc, _present = ensemble_tensors(e, cand, rel_lg, q_lg, space)
+
+    idx = np.arange(e, dtype=np.int64)
+    ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
+    sel = (ii < jj) & (jj < kk)
+    ii, jj, kk = ii[sel], jj[sel], kk[sel]  # lexicographic anchor order
+
+    pred = np.argmax(v[ii, jj, kk], axis=-1)
+    q_pred = np.argmax(qc[ii, jj, kk], axis=-1)
+    keep = (pred > 0) & (q_pred > 0)
+    ii, jj, kk = ii[keep], jj[keep], kk[keep]
+    pred, q_pred = pred[keep], q_pred[keep]
+    if pred.size == 0:
+        return []
+
+    a1, a2, a3 = ii.copy(), jj.copy(), kk.copy()
+    num_label = space.num_label
+    is_k = space.is_k()
+    is_r = space.is_r()
+
+    m = pred >= num_label
+    pred[m] = pred[m] - num_label + 1
+    a1[m], a2[m] = a2[m], a1[m].copy()
+
+    m = q_pred >= num_label
+    t1, t2, t3 = a3[m], a1[m].copy(), a2[m].copy()
+    a1[m], a2[m], a3[m] = t1, t2, t3
+    tmp = pred[m].copy()
+    pred[m] = q_pred[m] - num_label + 1
+    q_pred[m] = tmp
+
+    m = is_k[pred]
+    drop = m & is_k[q_pred]
+    m = m & ~drop
+    a2[m], a3[m] = a3[m], a2[m].copy()
+    tmp = pred[m].copy()
+    pred[m] = q_pred[m]
+    q_pred[m] = tmp
+
+    drop = drop | (is_r[pred] & is_r[q_pred])
+    ok = ~drop
+    if not ok.any():
+        return []
+
+    sc = v[ii, jj, kk, pred]
+    qsc = qc[ii, jj, kk, q_pred]
+
+    spans = [tuple(int(x) for x in row) for row in entities]
+    results = [
+        (float(sc[t]), spans[a1[t]], spans[a2[t]], int(pred[t]),
+         float(qsc[t]), spans[a3[t]], int(q_pred[t]))
+        for t in np.nonzero(ok)[0]
+    ]
+    return _nms(results, space.label_list)
+
+
 def decode_sentence_arrays(
     entities: np.ndarray,  # (E, 2) int64 spans in sentence order
     cand: np.ndarray,      # (N, 10) int64, enumeration order
@@ -146,32 +264,21 @@ def decode_sentence_arrays(
                 (float(v[i, j, k, pred]), m1, m2, pred,
                  float(qc[i, j, k, q_pred]), m3, q_pred))
 
-    if not results:
-        return []
+    return _nms(results, label_list)
 
-    # stable sort by -score; ties keep candidate enumeration order
-    scores = np.array([r[0] for r in results])
-    order = np.argsort(-scores, kind="stable")
 
-    def is_overlap(a: tuple, b: tuple) -> bool:
-        return (b[0] <= a[0] <= b[1]) or (a[0] <= b[0] <= a[1])
-
-    kept: list[tuple] = []
-    for oi in order:
-        item = results[int(oi)]
-        clash = False
-        for x in kept:
-            if (item[3] == x[3] and is_overlap(item[1], x[1])
-                    and is_overlap(item[2], x[2]) and item[6] == x[6]
-                    and is_overlap(item[5], x[5])):
-                clash = True
-                break
-        if not clash:
-            kept.append(item)
-
-    out = []
-    for score, m1, m2, pred, q_score, m3, q_pred in kept:
-        out.append(
-            (m1[0], m1[1], m2[0], m2[1], label_list[pred],
-             m3[0], m3[1], label_list[q_pred], score, q_score))
-    return out
+def decode_sentence(
+    entities: np.ndarray,
+    cand: np.ndarray,
+    rel_lg: np.ndarray,
+    q_lg: np.ndarray,
+    space: LabelSpace,
+    same_entity: bool = False,
+    strict: bool = True,
+) -> list[tuple]:
+    """Dispatcher: vectorized fast path when its preconditions hold
+    (same_entity off + full candidate grid), reference loop otherwise."""
+    if not same_entity:
+        return decode_sentence_fast(entities, cand, rel_lg, q_lg, space, strict)
+    return decode_sentence_arrays(
+        entities, cand, rel_lg, q_lg, space, same_entity, strict)

@@ -30,10 +30,10 @@ import pandas as pd
 
 from text2nkg_spark.candidates import enumerate_triples
 from text2nkg_spark.config import PipelineConfig
-from text2nkg_spark.decode_core import decode_sentence_arrays
+from text2nkg_spark.decode_core import decode_sentence
 from text2nkg_spark.labels import LabelSpace
 from text2nkg_spark.scoring_core import (
-    gold_logits, gold_orderings, hash_logits, log_softmax)
+    gold_logits, gold_orderings, hash_logits, hash_logits_batch, log_softmax)
 
 FACT_SCHEMA = (
     "conv_id string, turn_idx int, pred_idx int, "
@@ -122,23 +122,63 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
-            gold_col = pdf["gold_relations"] if use_gold else None
+            conv_ids = pdf["conv_id"].to_numpy()
+            turn_idxs = pdf["turn_idx"].to_numpy()
+            tokens_col = pdf["tokens"].to_numpy()
+            mentions_col = pdf["mentions"].to_numpy()
+            gold_col = pdf["gold_relations"].to_numpy() if use_gold else None
+
+            # phase 1 — enumerate all sentences in the batch
+            sent: list[tuple] = []  # (row, doc_id, ents, cand, lo, hi)
+            pos = 0
             for r in range(len(pdf)):
-                conv_id = pdf["conv_id"].iat[r]
-                turn_idx = int(pdf["turn_idx"].iat[r])
-                tokens = list(pdf["tokens"].iat[r])
-                ents = _mention_array(pdf["mentions"].iat[r])
+                ents = _mention_array(mentions_col[r])
                 if ents.shape[0] == 0:
                     continue
                 cand = enumerate_triples(ents, cfg.max_seq_length)
                 if cand.shape[0] == 0:
                     continue
-                doc_id = stable_doc_id(conv_id)
-                gold = _gold_rel_tuples(gold_col.iat[r]) if use_gold else None
-                rel_lg, q_lg = _sentence_logits(
-                    cfg, space, doc_id, turn_idx, cand, gold)
-                preds = decode_sentence_arrays(
+                sent.append((r, stable_doc_id(conv_ids[r]), ents, cand,
+                             pos, pos + cand.shape[0]))
+                pos += cand.shape[0]
+            if not sent:
+                yield _empty_fact_frame()
+                continue
+
+            # phase 2 — score the whole batch in one vectorized pass
+            if cfg.scorer == "hash":
+                all_triples = np.concatenate([s[3][:, 4:10] for s in sent])
+                doc_arr = np.concatenate(
+                    [np.full(s[5] - s[4], s[1], dtype=np.int64) for s in sent])
+                sent_arr = np.concatenate(
+                    [np.full(s[5] - s[4], int(turn_idxs[s[0]]), dtype=np.int64)
+                     for s in sent])
+                c = space.num_classes
+                rel_all = hash_logits_batch(
+                    doc_arr, sent_arr, all_triples, c, cfg.hash_seed, 0)
+                q_all = hash_logits_batch(
+                    doc_arr, sent_arr, all_triples, c, cfg.hash_seed, 1)
+                if cfg.log_softmax:
+                    rel_all = log_softmax(rel_all)
+                    q_all = log_softmax(q_all)
+            else:
+                rel_all = q_all = None
+
+            # phase 3 — decode per sentence
+            for r, doc_id, ents, cand, lo, hi in sent:
+                conv_id = conv_ids[r]
+                turn_idx = int(turn_idxs[r])
+                if rel_all is not None:
+                    rel_lg, q_lg = rel_all[lo:hi], q_all[lo:hi]
+                else:
+                    gold = _gold_rel_tuples(gold_col[r]) if use_gold else None
+                    rel_lg, q_lg = _sentence_logits(
+                        cfg, space, doc_id, turn_idx, cand, gold)
+                preds = decode_sentence(
                     ents, cand, rel_lg, q_lg, space, cfg.same_entity)
+                if not preds:
+                    continue
+                tokens = list(tokens_col[r])
                 for pi, p in enumerate(preds):
                     m1s, m1e, m2s, m2e, rel, m3s, m3e, qual, sc, qsc = p
                     out.append(
@@ -147,15 +187,18 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                          " ".join(tokens[m1s:m1e + 1]),
                          " ".join(tokens[m2s:m2e + 1]),
                          " ".join(tokens[m3s:m3e + 1])))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "conv_id", "turn_idx", "pred_idx", "m1s", "m1e", "m2s",
-                    "m2e", "rel", "m3s", "m3e", "qual", "rel_score",
-                    "q_score", "subj", "obj", "value"],
-            )
+            yield pd.DataFrame(out, columns=_FACT_COLS)
 
     return df.mapInPandas(run, schema=FACT_SCHEMA)
+
+
+_FACT_COLS = [
+    "conv_id", "turn_idx", "pred_idx", "m1s", "m1e", "m2s", "m2e", "rel",
+    "m3s", "m3e", "qual", "rel_score", "q_score", "subj", "obj", "value"]
+
+
+def _empty_fact_frame() -> pd.DataFrame:
+    return pd.DataFrame(columns=_FACT_COLS)
 
 
 def score_candidates(df, cfg: PipelineConfig, space: LabelSpace):
@@ -231,7 +274,7 @@ def decode_scores(cand_df, cfg: PipelineConfig, space: LabelSpace):
         ents[cand[:, 1], 1] = cand[:, 5]
         ents[cand[:, 2], 0] = cand[:, 6]
         ents[cand[:, 2], 1] = cand[:, 7]
-        preds = decode_sentence_arrays(
+        preds = decode_sentence(
             ents, cand, rel_lg, q_lg, space, cfg.same_entity)
         rows = [
             (conv_id, turn_idx, pi, *p[:8], p[8], p[9])

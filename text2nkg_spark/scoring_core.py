@@ -53,21 +53,22 @@ def log_softmax(x: np.ndarray) -> np.ndarray:
     return s - np.log(np.sum(np.exp(s), axis=-1, keepdims=True))
 
 
-def hash_logits(
-    doc_id: int,
-    sent_idx: int,
-    triples: np.ndarray,  # (N, 6) int64: m1s, m1e, m2s, m2e, m3s, m3e
+def hash_logits_batch(
+    doc_ids: np.ndarray,   # (N,) int64, aligned with triples rows
+    sent_idxs: np.ndarray,  # (N,) int64
+    triples: np.ndarray,   # (N, 6) int64: m1s, m1e, m2s, m2e, m3s, m3e
     num_classes: int,
     seed: int,
     which: int,  # 0 = rel logits, 1 = qual logits
 ) -> np.ndarray:
-    """(N, C) float64 pseudo-logits in [0, 1), deterministic across processes."""
+    """(N, C) float64 pseudo-logits in [0, 1); one vectorized pass for a
+    whole Arrow batch (rows may span many sentences)."""
     n = triples.shape[0]
     c = num_classes
     key = _mix(
         np.full(n, seed, dtype=np.int64),
-        np.full(n, doc_id, dtype=np.int64),
-        np.full(n, sent_idx, dtype=np.int64),
+        doc_ids,
+        sent_idxs,
         triples[:, 0] * 1_000_003 + triples[:, 1],
         triples[:, 2] * 1_000_003 + triples[:, 3],
         triples[:, 4] * 1_000_003 + triples[:, 5],
@@ -76,6 +77,22 @@ def hash_logits(
     cls = splitmix64(np.arange(c, dtype=np.int64).astype(np.uint64))
     grid = splitmix64(key[:, None] ^ cls[None, :])
     return (grid >> _U64(11)).astype(np.float64) * (1.0 / (1 << 53))
+
+
+def hash_logits(
+    doc_id: int,
+    sent_idx: int,
+    triples: np.ndarray,
+    num_classes: int,
+    seed: int,
+    which: int,
+) -> np.ndarray:
+    """Single-sentence wrapper over :func:`hash_logits_batch`."""
+    n = triples.shape[0]
+    return hash_logits_batch(
+        np.full(n, doc_id, dtype=np.int64),
+        np.full(n, sent_idx, dtype=np.int64),
+        triples, num_classes, seed, which)
 
 
 def gold_orderings(
