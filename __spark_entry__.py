@@ -304,19 +304,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_signature(spark, sf_dir):
-    from text2nkg_spark.operators.dedup import (
-        md5_minhash_signature, word_shingles)
+    from text2nkg_spark.operators.dedup import md5_minhash_signatures_exploded
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = d.select(
-        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
-    ).where(F.size("sh") > 0)
-    sig = base.withColumn("sig", md5_minhash_signature(F.col("sh"), 2))
+    sig = md5_minhash_signatures_exploded(d, num_hashes=2)
     return sig.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.element_at("sig", 1).alias("sig0"),
-        F.element_at("sig", 2).alias("sig1"),
-    )
+        F.col("doc_id").cast("long").alias("doc_id"), "sig0", "sig1")
 
 
 def q_text_quality(spark, sf_dir):
@@ -358,6 +351,8 @@ def q_text_token_counts(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
+    # explode + hash-agg (codegen'd; map-side partial min/max) — the
+    # per-element HOF formulation evaluates interpreted and is ~50x slower
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
     grams = F.filter(
@@ -365,15 +360,17 @@ def q_text_fingerprint(spark, sf_dir):
             toks,
             lambda _x, i: F.when(
                 i + 5 <= F.size(toks),
-                F.md5(F.array_join(F.slice(toks, i + 1, 5), " ")))),
-        lambda h: h.isNotNull())
+                F.array_join(F.slice(toks, i + 1, 5), " "))),
+        lambda g: g.isNotNull())
     return (
         d.select("doc_id", grams.alias("g"))
         .where(F.size("g") > 0)
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.array_min("g").alias("fp_min"),
-            F.array_max("g").alias("fp_max"))
+        .select("doc_id", F.explode("g").alias("gram"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("gram")).alias("fp_min"),
+             F.max(F.md5("gram")).alias("fp_max"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "fp_min", "fp_max")
     )
 
 

@@ -139,18 +139,25 @@ def connected_components(
             .distinct()
         )
 
+    def _sig(df: DataFrame) -> tuple:
+        # cheap fixed-point signature: count + order-insensitive xor-sum of
+        # edge hashes (one aggregate instead of two exceptAll scans)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint()
+    prev = _sig(e)
     for it in range(max_iter):
         e2 = small_star(large_star(e)).localCheckpoint()
-        # converged when the edge set is stable
-        if (
-            e2.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(e2).limit(1).count() == 0
-        ):
-            e = e2
-            break
+        cur = _sig(e2)
         e = e2
+        if cur == prev:
+            break
+        prev = cur
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     comp = comp.groupBy("node").agg(F.min("component").alias("component"))
     roots = comp.select(F.col("component").alias("node"),
