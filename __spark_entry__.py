@@ -355,13 +355,15 @@ def q_text_fingerprint(spark, sf_dir):
     # per-element HOF formulation evaluates interpreted and is ~50x slower
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
-    grams = F.filter(
+    grams = F.when(
+        F.size(toks) >= 5,
         F.transform(
-            toks,
-            lambda _x, i: F.when(
-                i + 5 <= F.size(toks),
-                F.array_join(F.slice(toks, i + 1, 5), " "))),
-        lambda g: g.isNotNull())
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2), F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4))),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select("doc_id", grams.alias("g"))
         .where(F.size("g") > 0)

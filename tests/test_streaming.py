@@ -1,0 +1,98 @@
+"""Structured Streaming ingestion == batch results (availableNow parity)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.config import DataGenConfig, PipelineConfig
+from text2nkg_spark.datagen import gen_transcripts_pdf
+from text2nkg_spark.operators.extraction import extract_facts_fused
+from text2nkg_spark.operators.mentions import detect_mentions
+from text2nkg_spark.plans.pipeline import default_label_space
+from text2nkg_spark.streaming.ingest import (
+    run_to_parquet, running_conv_stats, stream_extract_facts,
+    stream_transcripts, windowed_turn_counts)
+
+GEN = DataGenConfig(n_convs=30, turns_per_conv=6, seed=3)
+
+
+@pytest.fixture(scope="module")
+def tr_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    pdf = gen_transcripts_pdf(GEN)
+    spark.createDataFrame(pdf).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    ).repartition(6).write.mode("overwrite").parquet(str(d / "tr"))
+    return str(d / "tr")
+
+
+def test_stream_extraction_equals_batch(spark, tr_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stream_out")
+    cfg = PipelineConfig(scorer="hash")
+    space = default_label_space()
+
+    stream = stream_transcripts(spark, tr_dir)
+    assert stream.isStreaming
+    q = run_to_parquet(
+        stream_extract_facts(stream, cfg, space),
+        str(out / "facts"), str(out / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out / "facts"))
+    batch_in = spark.read.parquet(tr_dir)
+    sents = detect_mentions(batch_in).select(
+        "conv_id", "turn_idx", "tokens", "mentions")
+    want = extract_facts_fused(sents, cfg, space)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_windowed_counts_match_batch(spark, tr_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("win_out")
+    stream = stream_transcripts(spark, tr_dir)
+    q = run_to_parquet(
+        windowed_turn_counts(stream), str(out / "win"), str(out / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out / "win"))
+
+    batch = spark.read.parquet(tr_dir)
+    want = (
+        batch.groupBy(F.window("ts", "10 minutes").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.sum(F.length("text")).alias("n_chars"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "role", "n_turns", "n_chars")
+    )
+    # append mode emits a window only once the watermark passes it; windows
+    # still open when the availableNow drain finishes are held in state and
+    # never emitted — so: no spurious rows, and anything missing lies inside
+    # the final watermark horizon (max_ts - 30 minutes).
+    assert got.exceptAll(want).count() == 0
+    missing = want.exceptAll(got)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    late_horizon = F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+    assert missing.where(F.col("window_end") <= late_horizon).count() == 0
+
+
+def test_running_conv_stats_final_state(spark, tr_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("state_out")
+    stream = stream_transcripts(spark, tr_dir)
+    q = run_to_parquet(
+        running_conv_stats(stream), str(out / "stats"), str(out / "ckpt"),
+        output_mode="update")
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out / "stats"))
+    # last update per conv must equal the batch totals
+    final = (
+        got.groupBy("conv_id")
+        .agg(F.max("n_turns").alias("n_turns"), F.max("n_chars").alias("n_chars"))
+    )
+    batch = spark.read.parquet(tr_dir)
+    want = batch.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("text")).alias("n_chars"))
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
