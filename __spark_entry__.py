@@ -70,12 +70,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full NKG extraction on sf0.001-derived transcripts."""
     from text2nkg_spark.config import PipelineConfig
     from text2nkg_spark.operators.extraction import extract_facts_fused
-    from text2nkg_spark.operators.mentions import detect_mentions
-    from text2nkg_spark.plans.pipeline import default_label_space
+    from text2nkg_spark.plans.pipeline import (
+        default_label_space, prepare_sentences)
 
     tr = _derived_transcripts(spark, "/root/testdata/sf0.001")
-    sents = detect_mentions(tr, predicate=_dict_pred).select(
-        "conv_id", "turn_idx", "tokens", "mentions")
+    sents = prepare_sentences(tr, predicate=_dict_pred)
     cfg = PipelineConfig(scorer="hash")
     return extract_facts_fused(sents, cfg, default_label_space())
 
@@ -126,12 +125,11 @@ def q_nkg_extract_facts(spark, sf_dir):
     exact decode parity is pytest-asserted against the reference oracle)."""
     from text2nkg_spark.config import PipelineConfig
     from text2nkg_spark.operators.extraction import extract_facts_fused
-    from text2nkg_spark.operators.mentions import detect_mentions
-    from text2nkg_spark.plans.pipeline import default_label_space
+    from text2nkg_spark.plans.pipeline import (
+        default_label_space, prepare_sentences)
 
     tr = _derived_transcripts(spark, sf_dir)
-    sents = detect_mentions(tr, predicate=_dict_pred).select(
-        "conv_id", "turn_idx", "tokens", "mentions")
+    sents = prepare_sentences(tr, predicate=_dict_pred)
     return extract_facts_fused(
         sents, PipelineConfig(scorer="hash"), default_label_space())
 

@@ -57,12 +57,11 @@ def _gen_transcripts(spark, out_dir: str, n_turns: int):
 def _extraction_job(spark, tr_path: str) -> int:
     from text2nkg_spark.config import PipelineConfig
     from text2nkg_spark.operators.extraction import extract_facts_fused
-    from text2nkg_spark.operators.mentions import detect_mentions
-    from text2nkg_spark.plans.pipeline import default_label_space
+    from text2nkg_spark.plans.pipeline import (
+        default_label_space, prepare_sentences)
 
     tr = spark.read.parquet(tr_path)
-    sents = detect_mentions(tr).select(
-        "conv_id", "turn_idx", "tokens", "mentions")
+    sents = prepare_sentences(tr)
     return extract_facts_fused(
         sents, PipelineConfig(scorer="hash"), default_label_space()).count()
 
@@ -77,13 +76,59 @@ def _warmup(spark) -> None:
         F.lit("ent1a x ent2a y ent3a").alias("text"))
     from text2nkg_spark.config import PipelineConfig
     from text2nkg_spark.operators.extraction import extract_facts_fused
-    from text2nkg_spark.operators.mentions import detect_mentions
-    from text2nkg_spark.plans.pipeline import default_label_space
+    from text2nkg_spark.plans.pipeline import (
+        default_label_space, prepare_sentences)
 
-    sents = detect_mentions(df).select(
-        "conv_id", "turn_idx", "tokens", "mentions")
+    sents = prepare_sentences(df)
     extract_facts_fused(
         sents, PipelineConfig(scorer="hash"), default_label_space()).count()
+
+
+def _engine_worker(n_iter: int) -> float:
+    """One isolated process running the engine core (enumerate -> score ->
+    ensemble decode) — the per-executor workload without any JVM sharing."""
+    import numpy as np
+
+    from text2nkg_spark.candidates import enumerate_triples
+    from text2nkg_spark.decode_core import decode_sentence_fast
+    from text2nkg_spark.plans.pipeline import default_label_space
+    from text2nkg_spark.scoring_core import hash_logits_batch, log_softmax
+
+    space = default_label_space()
+    sents = []
+    for d in range(256):
+        e = 3 + d % 4
+        pos = np.cumsum(np.full(e, 3))
+        ents = np.column_stack([pos, pos + 1]).astype(np.int64)
+        sents.append((d, ents, enumerate_triples(ents, 256)))
+    t0 = time.time()
+    for it in range(n_iter):
+        allt = np.concatenate([s[2][:, 4:10] for s in sents])
+        docs = np.concatenate(
+            [np.full(s[2].shape[0], s[0] + it, dtype=np.int64) for s in sents])
+        z = np.zeros_like(docs)
+        rel = log_softmax(hash_logits_batch(docs, z, allt, space.num_classes, 42, 0))
+        q = log_softmax(hash_logits_batch(docs, z, allt, space.num_classes, 42, 1))
+        lo = 0
+        for _d, ents, cand in sents:
+            hi = lo + cand.shape[0]
+            decode_sentence_fast(ents, cand, rel[lo:hi], q[lo:hi], space)
+            lo = hi
+    return 256 * n_iter / (time.time() - t0)
+
+
+def _engine_core_scaling() -> dict:
+    import multiprocessing as mp
+
+    out = {}
+    for nproc in (4, 16):
+        with mp.Pool(nproc) as p:
+            out[nproc] = sum(p.map(_engine_worker, [20] * nproc))
+    return {
+        "procs4_sents_per_sec": round(out[4], 1),
+        "procs16_sents_per_sec": round(out[16], 1),
+        "efficiency_4_to_16": round(out[16] / out[4] / 4.0, 3),
+    }
 
 
 def main() -> None:
@@ -124,7 +169,7 @@ def main() -> None:
     scaling = {}
     if SCALING:
         rates = {}
-        for cores in (8, 32):
+        for cores in (4, 8, 16, 32):
             s = _make_session(cores)
             _warmup(s)
             best = float("inf")
@@ -134,12 +179,16 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             rates[cores] = n_turns / best
             s.stop()
-        eff = (rates[32] / rates[8]) / 4.0
         scaling = {
-            "local8_turns_per_sec": round(rates[8], 1),
-            "local32_turns_per_sec": round(rates[32], 1),
-            "efficiency_n_to_4n": round(eff, 3),
+            f"local{c}_turns_per_sec": round(r, 1) for c, r in rates.items()
         }
+        scaling["efficiency_4_to_16"] = round((rates[16] / rates[4]) / 4.0, 3)
+        scaling["efficiency_8_to_32"] = round((rates[32] / rates[8]) / 4.0, 3)
+        scaling["efficiency_n_to_4n"] = scaling["efficiency_4_to_16"]
+        # engine-core scaling: the same per-sentence workload in isolated
+        # worker processes (no shared JVM) — what a multi-executor cluster
+        # sees, where each executor is its own JVM on its own host
+        scaling["engine_core"] = _engine_core_scaling()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -1,0 +1,82 @@
+"""Checkpoint manifests (exact resume) + skew-splitting equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.config import DataGenConfig, PipelineConfig
+from text2nkg_spark.datagen import gen_transcripts_pdf
+from text2nkg_spark.operators.extraction import (
+    decode_scores, extract_facts_fused, score_candidates,
+    split_dense_sentences)
+from text2nkg_spark.plans.manifest import (
+    StageManifest, input_fingerprint, partition_stats)
+from text2nkg_spark.plans.pipeline import default_label_space, prepare_sentences
+
+GEN = DataGenConfig(n_convs=25, turns_per_conv=6, seed=21,
+                    mention_density_skew=0.3)  # plenty of dense turns
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    return spark.createDataFrame(gen_transcripts_pdf(GEN)).cache()
+
+
+def test_run_stage_builds_then_resumes(spark, tr, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("manifest"))
+    man = StageManifest(root)
+    fp = input_fingerprint(tr)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return tr.select("conv_id", "turn_idx", "text")
+
+    df1 = man.run_stage(spark, "proj", fp, build)
+    assert calls["n"] == 1
+    n1 = df1.count()
+
+    # resume: same fingerprint -> no rebuild, identical data
+    df2 = man.run_stage(spark, "proj", fp, build)
+    assert calls["n"] == 1
+    assert df2.count() == n1
+
+    # changed input -> rebuild
+    df3 = man.run_stage(spark, "proj", fp + "x", build)
+    assert calls["n"] == 2
+    assert df3.count() == n1
+
+    meta = man.read_meta("proj")
+    assert meta["complete"] and meta["rows_out"] == n1
+    assert len(meta["partitions"]) >= 1
+    assert sum(p["rows"] for p in meta["partitions"]) == n1
+
+
+def test_partition_stats_cover_all_rows(spark, tr):
+    st = partition_stats(tr.repartition(7)).collect()
+    assert sum(r.rows for r in st) == tr.count()
+
+
+def test_split_dense_two_stage_equals_fused(spark, tr):
+    """Skew-split two-stage extraction == fused extraction, exactly."""
+    cfg = PipelineConfig(scorer="hash")
+    space = default_label_space()
+    sents = prepare_sentences(tr)
+
+    fused = extract_facts_fused(sents, cfg, space).select(
+        "conv_id", "turn_idx", "pred_idx", "m1s", "m1e", "m2s", "m2e",
+        "rel", "m3s", "m3e", "qual")
+
+    split = split_dense_sentences(sents, max_cost=200)
+    # dense turns (12 mentions -> E^3 = 1728) must actually split
+    n_rows = split.count()
+    n_sents = sents.where(F.size("m_starts") > 0).count()
+    assert n_rows > n_sents
+
+    cand = score_candidates(split, cfg, space)
+    two = decode_scores(cand, cfg, space).select(
+        "conv_id", "turn_idx", "pred_idx", "m1s", "m1e", "m2s", "m2e",
+        "rel", "m3s", "m3e", "qual")
+
+    assert fused.exceptAll(two).count() == 0
+    assert two.exceptAll(fused).count() == 0

@@ -9,7 +9,8 @@ from text2nkg_spark.config import DataGenConfig, PipelineConfig
 from text2nkg_spark.datagen import gen_transcripts_pdf
 from text2nkg_spark.operators.extraction import extract_facts_fused
 from text2nkg_spark.operators.mentions import detect_mentions
-from text2nkg_spark.plans.pipeline import default_label_space
+from text2nkg_spark.plans.pipeline import (
+    default_label_space, prepare_sentences)
 from text2nkg_spark.streaming.ingest import (
     run_to_parquet, running_conv_stats, stream_extract_facts,
     stream_transcripts, windowed_turn_counts)
@@ -41,9 +42,8 @@ def test_stream_extraction_equals_batch(spark, tr_dir, tmp_path_factory):
 
     got = spark.read.parquet(str(out / "facts"))
     batch_in = spark.read.parquet(tr_dir)
-    sents = detect_mentions(batch_in).select(
-        "conv_id", "turn_idx", "tokens", "mentions")
-    want = extract_facts_fused(sents, cfg, space)
+    want = extract_facts_fused(
+        prepare_sentences(batch_in), cfg, space)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() > 0

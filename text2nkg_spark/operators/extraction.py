@@ -112,27 +112,48 @@ def _mention_array(mentions) -> np.ndarray:
     return np.asarray(rows, dtype=np.int64)
 
 
+def _flat_mention_array(starts, ends) -> np.ndarray:
+    """(starts, ends) int arrays -> (E, 2) span matrix (fast Arrow path)."""
+    if starts is None or len(starts) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.column_stack(
+        [np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64)])
+
+
 def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
-    """Fused scan→facts extraction.  Input columns: conv_id, turn_idx,
-    tokens (array<string>), mentions (array<struct<start,end>>); plus
-    gold_relations when cfg.scorer == 'gold'.
+    """Fused scan→facts extraction.
+
+    Input columns (flat Arrow-friendly contract — struct/token arrays cost
+    ~2x in Arrow->pandas conversion): conv_id, turn_idx, text (string),
+    m_starts (array<int>), m_ends (array<int>); plus gold_relations when
+    cfg.scorer == 'gold'.  The legacy (tokens, mentions) contract is also
+    accepted.
     """
     use_gold = cfg.scorer == "gold"
+    flat = "m_starts" in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
             conv_ids = pdf["conv_id"].to_numpy()
             turn_idxs = pdf["turn_idx"].to_numpy()
-            tokens_col = pdf["tokens"].to_numpy()
-            mentions_col = pdf["mentions"].to_numpy()
+            if flat:
+                text_col = pdf["text"].to_numpy()
+                starts_col = pdf["m_starts"].to_numpy()
+                ends_col = pdf["m_ends"].to_numpy()
+            else:
+                tokens_col = pdf["tokens"].to_numpy()
+                mentions_col = pdf["mentions"].to_numpy()
             gold_col = pdf["gold_relations"].to_numpy() if use_gold else None
 
             # phase 1 — enumerate all sentences in the batch
             sent: list[tuple] = []  # (row, doc_id, ents, cand, lo, hi)
             pos = 0
             for r in range(len(pdf)):
-                ents = _mention_array(mentions_col[r])
+                if flat:
+                    ents = _flat_mention_array(starts_col[r], ends_col[r])
+                else:
+                    ents = _mention_array(mentions_col[r])
                 if ents.shape[0] == 0:
                     continue
                 cand = enumerate_triples(ents, cfg.max_seq_length)
@@ -178,7 +199,8 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                     ents, cand, rel_lg, q_lg, space, cfg.same_entity)
                 if not preds:
                     continue
-                tokens = list(tokens_col[r])
+                tokens = (text_col[r].split(" ") if flat
+                          else list(tokens_col[r]))
                 for pi, p in enumerate(preds):
                     m1s, m1e, m2s, m2e, rel, m3s, m3e, qual, sc, qsc = p
                     out.append(
@@ -201,26 +223,68 @@ def _empty_fact_frame() -> pd.DataFrame:
     return pd.DataFrame(columns=_FACT_COLS)
 
 
+def split_dense_sentences(sents, max_cost: int = 1000):
+    """Skew mitigation for the two-stage path (SURVEY.md §4 item 1).
+
+    Candidate enumeration is O(E^3) per sentence; a mention-dense turn
+    hot-spots whichever task holds it, and AQE cannot split inside a UDF
+    group.  This pre-pass splits each sentence whose E^3 exceeds
+    ``max_cost`` into several (sub_lo, sub_hi) subject-range rows BEFORE
+    scoring, so the expensive model scoring spreads across executors; the
+    per-sentence decode regroups the pieces (its input is the union of all
+    subject ranges, which is exactly the full candidate grid).
+    """
+    from pyspark.sql import functions as F
+
+    e = F.size("m_starts")
+    cost = e * e * e
+    n_chunks = F.when(cost > max_cost, F.least(
+        F.ceil(cost / max_cost).cast("int"), e)).otherwise(F.lit(1))
+    chunk_sz = F.ceil(e / n_chunks).cast("int")
+    return (
+        sents.withColumn("_nc", n_chunks)
+        .withColumn("_cs", chunk_sz)
+        .withColumn("_c", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .withColumn("sub_lo", (F.col("_c") * F.col("_cs")).cast("int"))
+        .withColumn(
+            "sub_hi",
+            F.least((F.col("_c") + 1) * F.col("_cs"), e).cast("int"))
+        .where(F.col("sub_lo") < F.col("sub_hi"))
+        .drop("_nc", "_cs", "_c")
+    )
+
+
 def score_candidates(df, cfg: PipelineConfig, space: LabelSpace):
     """Two-stage scoring: one output row per candidate triple with logits.
 
-    Input as extract_facts_fused.  At scale, follow with
-    ``.repartition(N, 'conv_id', 'turn_idx', 'i')`` (or a salt column) to
-    split mention-dense sentences across executors before a model scorer.
+    Input as extract_facts_fused; optional sub_lo/sub_hi columns (from
+    ``split_dense_sentences``) restrict each row to a subject range.  At
+    scale, follow with ``.repartition(N, 'conv_id', 'turn_idx', 'sub_lo')``
+    before an expensive model scorer.
     """
     use_gold = cfg.scorer == "gold"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames: list[pd.DataFrame] = []
+            flat = "m_starts" in pdf.columns
+            ranged = "sub_lo" in pdf.columns
             gold_col = pdf["gold_relations"] if use_gold else None
             for r in range(len(pdf)):
                 conv_id = pdf["conv_id"].iat[r]
                 turn_idx = int(pdf["turn_idx"].iat[r])
-                ents = _mention_array(pdf["mentions"].iat[r])
+                if flat:
+                    ents = _flat_mention_array(
+                        pdf["m_starts"].iat[r], pdf["m_ends"].iat[r])
+                else:
+                    ents = _mention_array(pdf["mentions"].iat[r])
                 if ents.shape[0] == 0:
                     continue
                 cand = enumerate_triples(ents, cfg.max_seq_length)
+                if ranged:
+                    lo = int(pdf["sub_lo"].iat[r])
+                    hi = int(pdf["sub_hi"].iat[r])
+                    cand = cand[(cand[:, 1] >= lo) & (cand[:, 1] < hi)]
                 if cand.shape[0] == 0:
                     continue
                 doc_id = stable_doc_id(conv_id)

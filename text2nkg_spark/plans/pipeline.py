@@ -50,10 +50,17 @@ def build_label_space_from_gold(gold: DataFrame) -> LabelSpace:
 def prepare_sentences(
     transcripts: DataFrame,
     gold: DataFrame | None = None,
+    predicate=None,
 ) -> DataFrame:
-    """Tokenize + detect mentions; attach gold relations when provided."""
-    df = detect_mentions(transcripts)
-    df = df.select("conv_id", "turn_idx", "tokens", "mentions")
+    """Detect mentions and project the flat Arrow-friendly UDF contract
+    (text + int span arrays — struct/token arrays double the Arrow
+    conversion cost)."""
+    df = detect_mentions(transcripts, predicate=predicate)
+    df = df.select(
+        "conv_id", "turn_idx", "text",
+        F.transform("mentions", lambda m: m["start"]).alias("m_starts"),
+        F.transform("mentions", lambda m: m["end"]).alias("m_ends"),
+    )
     if gold is not None:
         df = df.join(
             gold.select("conv_id", "turn_idx",

@@ -47,10 +47,15 @@ def _mix(*parts: np.ndarray) -> np.ndarray:
 
 
 def log_softmax(x: np.ndarray) -> np.ndarray:
-    """Row-wise log-softmax over the last axis (float64, numerically stable)."""
+    """Row-wise log-softmax over the last axis (dtype-preserving, stable).
+
+    Scoring runs in float32 (half the memory traffic — the scoring stage is
+    bandwidth-bound at 32 workers); every downstream SUM (6-permutation
+    ensemble) upcasts to float64, and the oracle sees the identical float32
+    values via ``.tolist()``, so decode parity is bit-exact."""
     m = np.max(x, axis=-1, keepdims=True)
     s = x - m
-    return s - np.log(np.sum(np.exp(s), axis=-1, keepdims=True))
+    return s - np.log(np.sum(np.exp(s), axis=-1, keepdims=True, dtype=x.dtype))
 
 
 def hash_logits_batch(
@@ -76,7 +81,7 @@ def hash_logits_batch(
     )
     cls = splitmix64(np.arange(c, dtype=np.int64).astype(np.uint64))
     grid = splitmix64(key[:, None] ^ cls[None, :])
-    return (grid >> _U64(11)).astype(np.float64) * (1.0 / (1 << 53))
+    return (grid >> _U64(11)).astype(np.float32) * np.float32(1.0 / (1 << 53))
 
 
 def hash_logits(
@@ -133,9 +138,10 @@ def gold_logits(
     """One-hot gold logits + hash noise; returns (rel_logits, q_logits)."""
     rel = hash_logits(doc_id, sent_idx, triples, num_classes, seed, 0)
     qul = hash_logits(doc_id, sent_idx, triples, num_classes, seed, 1)
+    w = np.float32(weight)
     for i in range(triples.shape[0]):
         key = tuple(int(v) for v in triples[i])
         rlab, qlab = gold_index.get(key, (0, 0))
-        rel[i, rlab] += weight
-        qul[i, qlab] += weight
+        rel[i, rlab] += w
+        qul[i, qlab] += w
     return rel, qul

@@ -41,10 +41,9 @@ def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
 
 def stream_extract_facts(stream: DataFrame, cfg, space) -> DataFrame:
     from text2nkg_spark.operators.extraction import extract_facts_fused
-    from text2nkg_spark.operators.mentions import detect_mentions
+    from text2nkg_spark.plans.pipeline import prepare_sentences
 
-    sents = detect_mentions(stream).select(
-        "conv_id", "turn_idx", "tokens", "mentions")
+    sents = prepare_sentences(stream)
     return extract_facts_fused(sents, cfg, space)
 
 
