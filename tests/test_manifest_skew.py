@@ -80,3 +80,33 @@ def test_split_dense_two_stage_equals_fused(spark, tr):
 
     assert fused.exceptAll(two).count() == 0
     assert two.exceptAll(fused).count() == 0
+
+
+def test_run_pipeline_end_to_end_and_resume(spark, tr, tmp_path_factory):
+    from text2nkg_spark.plans.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("pipe"))
+    cfg = PipelineConfig(scorer="hash")
+    out = run_pipeline(spark, tr, root, cfg)
+    n_facts = out["facts"].count()
+    assert n_facts > 0
+    assert out["main_triples"].count() > 0
+    assert out["entities"].count() > 0
+
+    man = StageManifest(root)
+    walls = {s: man.read_meta(s)["wall_s"]
+             for s in ("sentences", "predictions", "facts", "compacted")}
+
+    # full rerun: every stage resumes from its manifest (wall_s unchanged)
+    out2 = run_pipeline(spark, tr, root, cfg)
+    for s, w in walls.items():
+        assert man.read_meta(s)["wall_s"] == w
+    assert out2["facts"].count() == n_facts
+
+    # simulate a crash that lost one stage: only that stage rebuilds
+    import os
+    os.remove(os.path.join(root, "facts.manifest.json"))
+    out3 = run_pipeline(spark, tr, root, cfg)
+    assert man.read_meta("facts")["wall_s"] != walls["facts"]
+    assert man.read_meta("predictions")["wall_s"] == walls["predictions"]
+    assert out3["facts"].count() == n_facts

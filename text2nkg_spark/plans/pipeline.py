@@ -92,3 +92,64 @@ def materialize_graph(preds: DataFrame) -> dict[str, DataFrame]:
         "fact_qualifiers": qualifier_triples(facts),
         "compacted": compacted_facts(facts),
     }
+
+
+def run_pipeline(
+    spark,
+    transcripts: DataFrame,
+    out_root: str,
+    cfg: PipelineConfig,
+    space: LabelSpace | None = None,
+    gold: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """The checkpointed end-to-end pipeline (SURVEY.md §4 item 4).
+
+    Every stage writes parquet + a manifest (stage fingerprint, per-partition
+    row counts + content hashes); a rerun — including after a mid-pipeline
+    crash — resumes from the last complete stage (tested by deleting a stage
+    manifest and observing only the suffix rebuild).  Fact tables partition
+    by a conv-hash bucket so downstream per-conversation reads prune.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from text2nkg_spark.operators.canonicalize import canonicalize_entities
+    from text2nkg_spark.operators.mentions import (
+        detect_mentions, mention_surfaces)
+    from text2nkg_spark.plans.manifest import StageManifest, input_fingerprint
+
+    space = space or default_label_space()
+    man = StageManifest(out_root)
+    fp = input_fingerprint(transcripts)
+
+    sents = man.run_stage(
+        spark, "sentences", fp,
+        lambda: prepare_sentences(
+            transcripts, gold if cfg.scorer == "gold" else None))
+
+    fp2 = f"{fp}|{cfg.scorer}|{cfg.hash_seed}|{space.d}"
+    preds = man.run_stage(
+        spark, "predictions", fp2,
+        lambda: extract_facts_fused(sents, cfg, space).withColumn(
+            "conv_bucket", F.pmod(F.xxhash64("conv_id"), 16)),
+        partition_by=["conv_bucket"])
+
+    facts = man.run_stage(
+        spark, "facts", fp2, lambda: fact_table(preds))
+    main = man.run_stage(
+        spark, "main_triples", fp2, lambda: main_triples(facts))
+    quals = man.run_stage(
+        spark, "fact_qualifiers", fp2, lambda: qualifier_triples(facts))
+    comp = man.run_stage(
+        spark, "compacted", fp2, lambda: compacted_facts(facts))
+
+    def build_entities():
+        surf = mention_surfaces(detect_mentions(transcripts))
+        return canonicalize_entities(surf)["entities"]
+
+    entities = man.run_stage(spark, "entities", fp, build_entities)
+
+    return {
+        "sentences": sents, "predictions": preds, "facts": facts,
+        "main_triples": main, "fact_qualifiers": quals,
+        "compacted": comp, "entities": entities,
+    }
