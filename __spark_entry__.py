@@ -351,8 +351,10 @@ def q_text_token_counts(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     # explode + hash-agg (codegen'd; map-side partial min/max) — the
     # per-element HOF formulation evaluates interpreted and is ~50x slower
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "toks",
+        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= 5,
         F.transform(

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from text2nkg_spark.operators.dedup import (
     embedding_cosine_pairs, exact_duplicates, minhash_lsh_pairs,
-    ngram_jaccard_pairs, simhash64, simhash_pairs, word_shingles)
+    ngram_jaccard_pairs, simhash_pairs, word_shingles)
 from text2nkg_spark.operators.multimodal import (
     extract_features, media_metadata_stats, synth_media_df)
 from text2nkg_spark.operators.similarity import brute_force_topk, lsh_topk

@@ -46,24 +46,34 @@ def exact_duplicates(
     )
 
 
-def word_shingles(col, n: int = 3):
-    """Distinct word n-grams (space-joined) of a text column.
+def word_shingles_from_tokens(tok_col, n: int = 3):
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array column.
 
-    Built with ``element_at`` lookups over a 1..len-n+1 index sequence —
-    ~9x faster than the slice+array_join formulation (HOF lambdas evaluate
-    interpreted; per-element subarray copies dominate)."""
-    toks = F.split(normalize_text(col), " ")
+    IMPORTANT: pass a real column (``withColumn('toks', split(...))``), not
+    an expression — Catalyst inlines expression arguments into every
+    ``element_at`` lookup, re-evaluating the tokenization once per shingle
+    position (quadratic; measured 10-50x slowdowns)."""
 
     def gram(i):
-        parts = [F.element_at(toks, i + off) for off in range(n)]
+        parts = [F.element_at(tok_col, i + off) for off in range(n)]
         return F.concat_ws(" ", *parts)
 
     return F.when(
-        F.size(toks) >= n,
+        F.size(tok_col) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)),
+                F.sequence(F.lit(1), F.size(tok_col) - (n - 1)), gram)),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def with_norm_tokens(df: DataFrame, text_col: str, out: str = "_toks") -> DataFrame:
+    return df.withColumn(out, F.split(normalize_text(F.col(text_col)), " "))
+
+
+def word_shingles(col, n: int = 3):
+    """Shingles directly from a text expression — convenience wrapper; for
+    hot paths materialize tokens and use word_shingles_from_tokens."""
+    return word_shingles_from_tokens(F.split(normalize_text(col), " "), n)
 
 
 def md5_minhash_signature(shingles_col, num_hashes: int):
@@ -96,10 +106,13 @@ def md5_minhash_signatures_exploded(
 
     Output: (doc_id, sig0..sig{n-1}).
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
+    base = (
+        with_norm_tokens(df, text_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
     ex = base.select("doc_id", F.explode("sh").alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"sig{h}")
@@ -119,10 +132,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, jaccard) via MinHash-LSH."""
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
+    base = (
+        with_norm_tokens(df, text_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
     sig = base.withColumn("sig", md5_minhash_signature(F.col("sh"), num_hashes))
     banded = sig.select(
         "doc_id", "sh",
@@ -157,15 +173,14 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col, bits: int = 64) -> "F.Column":
-    """64-bit SimHash: sign-sum of per-token xxhash64 bits (token-weighted).
+def simhash64_from_hashes(hashes, bits: int = 64) -> "F.Column":
+    """64-bit SimHash from a MATERIALIZED array<long> token-hash column
+    (pass a real column — the expression is referenced once per bit).
 
-    Pure expressions: for each bit position (python-side loop — bit masks
-    must be literals), count tokens whose hash has the bit set vs not;
-    bit := majority.  One pass, no shuffle.
+    For each bit position (python-side loop — bit masks must be literals),
+    count tokens whose hash has the bit set vs not; bit := majority.
+    One pass, no shuffle.
     """
-    toks = F.split(normalize_text(text_col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def vote(mask):
         return F.aggregate(
@@ -192,8 +207,12 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: candidates share one of four 16-bit chunks
     (pigeonhole guarantees recall for Hamming <= 3), verified by exact
     Hamming distance via bit_count."""
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     simhash64(F.col(text_col)).alias("sh"))
+    base = (
+        with_norm_tokens(df, text_col)
+        .withColumn("_h", F.transform("_toks", lambda t: F.xxhash64(t)))
+        .select(F.col(id_col).alias("doc_id"),
+                simhash64_from_hashes(F.col("_h")).alias("sh"))
+    )
     chunks = base.select(
         "doc_id", "sh",
         F.posexplode(
@@ -234,12 +253,15 @@ def ngram_jaccard_pairs(
     length_bucket: int = 64,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard within (block_cols, length-bucket) blocks."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        word_shingles(F.col(text_col), n).alias("sh"),
-        (F.length(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
-    ).where(F.size("sh") > 0)
+    base = (
+        with_norm_tokens(df, text_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in block_cols],
+            word_shingles_from_tokens(F.col("_toks"), n).alias("sh"),
+            (F.length(F.col(text_col)) / length_bucket).cast("int").alias("lb"))
+        .where(F.size("sh") > 0)
+    )
     keys = list(block_cols) + ["lb"]
     cond = (F.col("l.doc_id") < F.col("r.doc_id"))
     for c in keys:

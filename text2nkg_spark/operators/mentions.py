@@ -44,32 +44,44 @@ def detect_mentions(
     """
     pred = predicate or _is_mention_token
     df = with_tokens(turns, text_col)
-    # linear rising/falling-edge formulation: a run starts at a marker token
-    # whose predecessor is not a marker, ends where the successor is not.
-    # (An aggregate-fold with an array accumulator is quadratic — every step
-    # copies the accumulator — and its allocation churn serializes the JVM
-    # at high core counts.)
-    flags = F.transform("tokens", lambda t: pred(t))
-    df = df.withColumn("_mf", flags)
-    n = F.size("_mf")
-    is_m = lambda i: F.element_at("_mf", i + 1)  # noqa: E731  (1-based)
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: is_m(i) & ((i == 0) | ~is_m(i - 1)),
+    # fold over MARKER POSITIONS ONLY (sparse — typically a handful per
+    # turn), extending the last run when the next marker index is
+    # contiguous.  The accumulator-array copies are bounded by the run
+    # count, so the fold beats any formulation that touches every token.
+    df = df.withColumn(
+        "_mi",
+        F.filter(
+            F.transform(
+                "tokens", lambda t, i: F.when(pred(t), i).otherwise(F.lit(-1))),
+            lambda i: i >= 0,
+        ),
     )
-    ends = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: is_m(i) & ((i == n - 1) | ~is_m(i + 1)),
+    runs = F.aggregate(
+        F.col("_mi"),
+        F.array().cast("array<struct<start:int,end:int>>"),
+        lambda acc, i: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1)["end"] == i.cast("int") - 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        i.cast("int").alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(i.cast("int").alias("start"),
+                             i.cast("int").alias("end"))
+                ),
+            )
+        ),
     )
-    runs = F.zip_with(
-        starts, ends,
-        lambda s, e: F.struct(s.cast("int").alias("start"),
-                              e.cast("int").alias("end")))
-    return df.withColumn(
-        "mentions",
-        F.when(n > 0, runs).otherwise(
-            F.array().cast("array<struct<start:int,end:int>>")),
-    ).drop("_mf")
+    return df.withColumn("mentions", runs).drop("_mi")
 
 
 def detect_mentions_exploded(

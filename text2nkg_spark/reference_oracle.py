@@ -225,3 +225,183 @@ def gold_compact_facts(
         t["N"] = len(t) - 2 + ext
         out.append(json.dumps(t))
     return out
+
+
+# ---------------------------------------------------------------------------
+# event / role / hypergraph decode transcriptions
+# (run_re.py:1519-1751, 1764-1975, 1979-2174)
+# ---------------------------------------------------------------------------
+
+def decode_sentence_event(
+    pair_dict: dict,
+    label_list: list[str],
+    q_label_list: list[str],
+    same_entity: bool = False,
+) -> list[tuple]:
+    """Event-schema decode.  pair_dict values are
+    (v, ner, q, qner, qb, qc) logit lists; four heads, no block swaps —
+    permutations shuffle the (q, qb, qc) heads to follow their mentions.
+    Returns output_preds rows
+    (rel, (m1, qb_lab), (m2, qc_lab), (m3, q_lab)).
+    """
+    visited: set = set()
+    sentence_results: list[tuple] = []
+    for k123, (v123, v1n, q123, _qn, qb123, qc123) in pair_dict.items():
+        if k123 in visited:
+            continue
+        visited.add(k123)
+        v, q = list(v123), list(q123)
+        qb, qc = list(qb123), list(qc123)
+        m1, m2, m3 = k123
+        if not same_entity and (m1 == m2 or m2 == m3 or m3 == m1):
+            continue
+        # (key, v-src, q-src, qb-src, qc-src) with sources named by head
+        for key, perm in (
+            ((m2, m1, m3), lambda t: (t[0], t[1], t[3], t[2])),
+            ((m1, m3, m2), lambda t: (t[0], t[3], t[2], t[1])),
+            ((m2, m3, m1), lambda t: (t[0], t[2], t[3], t[1])),
+            ((m3, m1, m2), lambda t: (t[0], t[3], t[1], t[2])),
+            ((m3, m2, m1), lambda t: (t[0], t[2], t[1], t[3])),
+        ):
+            vp, _n, qp, _qn2, qbp, qcp = pair_dict[key]
+            visited.add(key)
+            av, aq, aqb, aqc = perm((vp, qp, qbp, qcp))
+            v = [a + b for a, b in zip(v, av)]
+            q = [a + b for a, b in zip(q, aq)]
+            qb = [a + b for a, b in zip(qb, aqb)]
+            qc = [a + b for a, b in zip(qc, aqc)]
+        pred = int(np.argmax(v)); q_pred = int(np.argmax(q))
+        qb_pred = int(np.argmax(qb)); qc_pred = int(np.argmax(qc))
+        # run_re.py:1637 — note qb tested for TRUTHINESS, not > 0 (quirk)
+        if pred > 0 and q_pred > 0 and qb_pred and qc_pred > 0:
+            sentence_results.append(
+                (v[pred], m1, m2, pred, q[q_pred], m3, q_pred, qb_pred, qc_pred))
+
+    sentence_results.sort(key=lambda x: -x[0])
+
+    def ov(a, b):
+        return (b[0] <= a[0] <= b[1]) or (a[0] <= b[0] <= a[1])
+
+    kept: list[tuple] = []
+    for it in sentence_results:
+        clash = any(
+            it[3] == x[3] and ov(it[1], x[1]) and ov(it[2], x[2])
+            and it[6] == x[6] and ov(it[5], x[5])
+            and it[7] == x[7] and it[8] == x[8]
+            for x in kept)
+        if not clash:
+            kept.append(it)
+    out = []
+    for _s, m1, m2, pred, _qs, m3, q_pred, qb_pred, qc_pred in kept:
+        out.append(
+            (label_list[pred],
+             (m1, q_label_list[qb_pred]),
+             (m2, q_label_list[qc_pred]),
+             (m3, q_label_list[q_pred])))
+    return out
+
+
+def decode_sentence_role(
+    pair_dict: dict,
+    q_label_list: list[str],
+    same_entity: bool = False,
+) -> list[tuple]:
+    """Role-schema decode.  pair_dict values: (v, ner, q, qner, qb);
+    v = m2's role, q = m3's role, qb = m1's role.
+    Returns ((m1, qb_lab), (m2, v_lab), (m3, q_lab)) rows."""
+    visited: set = set()
+    sentence_results: list[tuple] = []
+    for k123, (v123, _n, q123, _qn, qb123) in pair_dict.items():
+        if k123 in visited:
+            continue
+        visited.add(k123)
+        v, q, qb = list(v123), list(q123), list(qb123)
+        m1, m2, m3 = k123
+        if not same_entity and (m1 == m2 or m2 == m3 or m3 == m1):
+            continue
+        for key, perm in (
+            ((m2, m1, m3), lambda t: (t[2], t[1], t[0])),
+            ((m1, m3, m2), lambda t: (t[1], t[0], t[2])),
+            ((m2, m3, m1), lambda t: (t[2], t[0], t[1])),
+            ((m3, m1, m2), lambda t: (t[2], t[0], t[1])),
+            ((m3, m2, m1), lambda t: (t[0], t[1], t[2])),
+        ):
+            vp, _n2, qp, _qn2, qbp = pair_dict[key]
+            visited.add(key)
+            av, aq, aqb = perm((vp, qp, qbp))
+            v = [a + b for a, b in zip(v, av)]
+            q = [a + b for a, b in zip(q, aq)]
+            qb = [a + b for a, b in zip(qb, aqb)]
+        pred = int(np.argmax(v)); q_pred = int(np.argmax(q))
+        qb_pred = int(np.argmax(qb))
+        # run_re.py:1870 — qb tested for truthiness (quirk)
+        if pred > 0 and q_pred > 0 and qb_pred:
+            sentence_results.append(
+                (v[pred], m1, m2, pred, q[q_pred], m3, q_pred, qb_pred))
+
+    sentence_results.sort(key=lambda x: -x[0])
+
+    def ov(a, b):
+        return (b[0] <= a[0] <= b[1]) or (a[0] <= b[0] <= a[1])
+
+    kept: list[tuple] = []
+    for it in sentence_results:
+        clash = any(
+            it[3] == x[3] and ov(it[1], x[1]) and ov(it[2], x[2])
+            and it[6] == x[6] and ov(it[5], x[5]) and it[7] == x[7]
+            for x in kept)
+        if not clash:
+            kept.append(it)
+    out = []
+    for _s, m1, m2, pred, _qs, m3, q_pred, qb_pred in kept:
+        out.append(
+            ((m1, q_label_list[qb_pred]),
+             (m2, q_label_list[pred]),
+             (m3, q_label_list[q_pred])))
+    return out
+
+
+def decode_sentence_hypergraph(
+    pair_dict: dict,
+    label_list: list[str],
+    same_entity: bool = False,
+) -> list[tuple]:
+    """Hypergraph decode: all 6 orderings summed with NO permutation;
+    q_pred = argmax(v) — the reference reads v twice (run_re.py:2121, quirk).
+    Returns (rel, m1, m2, m3) rows."""
+    visited: set = set()
+    sentence_results: list[tuple] = []
+    for k123, (v123, _n, q123, _qn) in pair_dict.items():
+        if k123 in visited:
+            continue
+        visited.add(k123)
+        v, q = list(v123), list(q123)
+        m1, m2, m3 = k123
+        if not same_entity and (m1 == m2 or m2 == m3 or m3 == m1):
+            continue
+        for key in ((m2, m1, m3), (m1, m3, m2), (m2, m3, m1),
+                    (m3, m1, m2), (m3, m2, m1)):
+            vp, _n2, qp, _qn2 = pair_dict[key]
+            visited.add(key)
+            v = [a + b for a, b in zip(v, vp)]
+            q = [a + b for a, b in zip(q, qp)]
+        pred = int(np.argmax(v))
+        q_pred = int(np.argmax(v))  # quirk preserved
+        if pred > 0:
+            sentence_results.append(
+                (v[pred], m1, m2, pred, q[q_pred], m3, q_pred))
+
+    sentence_results.sort(key=lambda x: -x[0])
+
+    def ov(a, b):
+        return (b[0] <= a[0] <= b[1]) or (a[0] <= b[0] <= a[1])
+
+    kept: list[tuple] = []
+    for it in sentence_results:
+        clash = any(
+            it[3] == x[3] and ov(it[1], x[1]) and ov(it[2], x[2])
+            and it[6] == x[6] and ov(it[5], x[5])
+            for x in kept)
+        if not clash:
+            kept.append(it)
+    return [(label_list[it[3]], it[1], it[2], it[5]) for it in kept]
