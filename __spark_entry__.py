@@ -349,26 +349,24 @@ def q_text_token_counts(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    # explode + hash-agg (codegen'd; map-side partial min/max) — the
-    # per-element HOF formulation evaluates interpreted and is ~50x slower
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "toks",
-        F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
-    toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2), F.element_at(toks, i + 3),
-                F.element_at(toks, i + 4))),
-    ).otherwise(F.array().cast("array<string>"))
+    # posexplode + window-lead 5-grams + min/max agg — fully codegen'd
+    # (HOF/element_at formulations re-evaluate the tokenization per gram
+    # after CollapseProject; 30x slower)
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                     r"\s+", " "), " ")).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, 5)]
+    grams = tok.select(
+        "doc_id", F.concat_ws(" ", *leads).alias("gram"),
+        leads[-1].alias("_last")).where(F.col("_last").isNotNull())
     return (
-        d.select("doc_id", grams.alias("g"))
-        .where(F.size("g") > 0)
-        .select("doc_id", F.explode("g").alias("gram"))
-        .groupBy("doc_id")
+        grams.groupBy("doc_id")
         .agg(F.min(F.md5("gram")).alias("fp_min"),
              F.max(F.md5("gram")).alias("fp_max"))
         .select(F.col("doc_id").cast("long").alias("doc_id"),

