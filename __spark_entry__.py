@@ -185,6 +185,34 @@ def q_nkg_entities(spark, sf_dir):
         F.col("n_mentions").cast("long").alias("n_mentions"))
 
 
+def _q_multi_schema(schema):
+    """Gold-scored extraction for the event/role/hypergraph schemas over the
+    reference's own dev corpus (read-only data fixture; rows-only check —
+    exact oracle parity + >=0.95 gold recovery are pytest-asserted)."""
+
+    def q(spark, sf_dir):
+        import os
+
+        from text2nkg_spark.config import PipelineConfig
+        from text2nkg_spark.operators.extraction_multi import (
+            extract_facts_multi, labels_from_normalized)
+        from text2nkg_spark.operators.normalize import (
+            normalize_reference_docs, with_line_numbers)
+        from text2nkg_spark.sources.io import read_reference_jsonl
+
+        path = ("/root/reference/datasets/hyperred_processed_data/"
+                f"hyperred_{schema}/dev.json")
+        if not os.path.exists(path):
+            return spark.createDataFrame([], "doc_id long")
+        docs = with_line_numbers(read_reference_jsonl(spark, path)).limit(80)
+        norm = normalize_reference_docs(docs, schema)
+        labels = labels_from_normalized(norm, schema)
+        return extract_facts_multi(
+            norm, schema, PipelineConfig(scorer="gold"), labels)
+
+    return q
+
+
 # --------------------------------------------------------------------------
 # relational / standard operators (SURVEY §2.9 checklist) on TPC-H-ish data
 # --------------------------------------------------------------------------
@@ -432,6 +460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_compacted": q_nkg_compacted,
         "nkg_entities": q_nkg_entities,
+        "nkg_event_extract": _q_multi_schema("event"),
+        "nkg_role_extract": _q_multi_schema("role"),
+        "nkg_hypergraph_extract": _q_multi_schema("hypergraph"),
         # relational operator checklist
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,

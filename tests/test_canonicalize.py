@@ -84,3 +84,19 @@ def test_canonicalize_entities(spark):
     assert by_surface["ent99a"] != by_surface["ent1a ent1b"]
     ents = out["entities"].collect()
     assert {e.n_mentions for e in ents} == {3, 1}
+
+
+def test_rekey_facts_to_entities(spark):
+    from text2nkg_spark.operators.canonicalize import rekey_facts_to_entities
+
+    facts = spark.createDataFrame(
+        [("c1", 0, "[r]rel_0", "ent1a ent1b", "ent2a", "ent3a")],
+        "conv_id string, turn_idx int, rel string, subj string, "
+        "obj string, value string")
+    s2e = spark.createDataFrame(
+        [("ent1a ent1b", 101), ("ent2a", 102)],
+        "surface string, entity_id long")
+    out = rekey_facts_to_entities(facts, s2e).collect()[0]
+    assert out.subj_entity_id == 101
+    assert out.obj_entity_id == 102
+    assert out.value_entity_id is not None  # deterministic fallback

@@ -209,4 +209,32 @@ def canonicalize_entities(
             F.count(F.lit(1)).alias("n_mentions"),
         )
     )
-    return {"entities": entities, "mention_to_entity": m2e}
+    return {"entities": entities, "mention_to_entity": m2e,
+            "surface_to_entity": surf_comp}
+
+
+def rekey_facts_to_entities(
+    facts: DataFrame, surface_to_entity: DataFrame
+) -> DataFrame:
+    """G4 final step (north_star): main-triple facts re-keyed to canonical
+    entity ids — subj/obj/value surfaces joined to their components.
+
+    Three broadcast-able joins against the (small relative to facts)
+    surface->entity map; unmatched surfaces (mentions outside the detected
+    vocabulary) keep a deterministic xxhash64 fallback id so the graph stays
+    total.
+    """
+
+    def attach(df: DataFrame, col: str) -> DataFrame:
+        m = surface_to_entity.select(
+            F.col("surface").alias(col),
+            F.col("entity_id").alias(f"{col}_entity_id"))
+        return df.join(F.broadcast(m), col, "left").withColumn(
+            f"{col}_entity_id",
+            F.coalesce(F.col(f"{col}_entity_id"), F.xxhash64(F.col(col))))
+
+    out = facts
+    for col in ("subj", "obj", "value"):
+        if col in facts.columns:
+            out = attach(out, col)
+    return out

@@ -142,14 +142,35 @@ def run_pipeline(
     comp = man.run_stage(
         spark, "compacted", fp2, lambda: compacted_facts(facts))
 
+    def build_s2e():
+        surf = mention_surfaces(detect_mentions(transcripts))
+        return canonicalize_entities(surf)["surface_to_entity"]
+
+    s2e = man.run_stage(spark, "surface_to_entity", fp, build_s2e)
+
     def build_entities():
         surf = mention_surfaces(detect_mentions(transcripts))
-        return canonicalize_entities(surf)["entities"]
+        return (
+            surf.join(s2e, "surface")
+            .groupBy("entity_id")
+            .agg(
+                F.min("surface").alias("canonical_surface"),
+                F.countDistinct("surface").alias("n_surfaces"),
+                F.count(F.lit(1)).alias("n_mentions"),
+            )
+        )
 
     entities = man.run_stage(spark, "entities", fp, build_entities)
+
+    from text2nkg_spark.operators.canonicalize import rekey_facts_to_entities
+
+    facts_canonical = man.run_stage(
+        spark, "facts_canonical", fp2,
+        lambda: rekey_facts_to_entities(main, s2e.select("surface", "entity_id")))
 
     return {
         "sentences": sents, "predictions": preds, "facts": facts,
         "main_triples": main, "fact_qualifiers": quals,
         "compacted": comp, "entities": entities,
+        "surface_to_entity": s2e, "facts_canonical": facts_canonical,
     }
