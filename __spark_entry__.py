@@ -276,6 +276,19 @@ def q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def q_orders_rollup(spark, sf_dir):
+    """Hierarchical subtotals (ROLLUP) — grouping-sets coverage."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("total_price"),
+        )
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -467,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "orders_rollup": q_orders_rollup,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         # training-data ops
@@ -590,6 +604,14 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM orders)
             WHERE rn <= 3
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "events_sessionize": """
             WITH s AS (

@@ -1,0 +1,68 @@
+"""Physical-plan scale properties: pushdown, pruning, partition pruning,
+shuffle-freeness — asserted on actual explain output, not hand-waved."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    p = _plan(em.queries()["pricing_summary"](spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in p, "filter not pushed to scan"
+    # projection pruned: unused columns absent from ReadSchema
+    assert "l_partkey" not in p and "l_suppkey" not in p
+
+
+def test_broadcast_join_for_dimensions(spark):
+    p = _plan(em.queries()["revenue_by_nation"](spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_extraction_is_shuffle_free(spark):
+    """The 100 TB property: scan -> mapInPandas -> facts, zero Exchange."""
+    p = _plan(em.queries()["nkg_extract_facts"](spark, SF))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_partition_pruning_on_bucketed_facts(spark, tmp_path):
+    """Facts written partitionBy(conv_bucket) prune to one partition dir."""
+    from text2nkg_spark.config import DataGenConfig, PipelineConfig
+    from text2nkg_spark.datagen import gen_transcripts_pdf
+    from text2nkg_spark.plans.pipeline import run_pipeline
+
+    tr = spark.createDataFrame(
+        gen_transcripts_pdf(DataGenConfig(n_convs=12, turns_per_conv=4, seed=9)))
+    out = run_pipeline(spark, tr, str(tmp_path / "pipe"),
+                       PipelineConfig(scorer="hash"))
+    preds = spark.read.parquet(str(tmp_path / "pipe" / "predictions"))
+    pruned = preds.where(F.col("conv_bucket") == 3)
+    p = _plan(pruned)
+    assert "PartitionFilters" in p
+    assert "conv_bucket" in p.split("PartitionFilters", 1)[1][:200]
+
+
+def test_rollup_oracle(spark):
+    """orders_rollup matches DuckDB GROUP BY ROLLUP (subtotal NULLs incl.)."""
+    import tests.test_entry_contract as tc
+
+    df = em.queries()["orders_rollup"](spark, SF)
+    sr = [tuple(r) for r in df.collect()]
+    con = tc._duck(SF)
+    res = con.execute(em.oracle_sql()["orders_rollup"])
+    a = tc._rows_multiset(list(df.columns), sr)
+    b = tc._rows_multiset([d[0] for d in res.description], res.fetchall())
+    assert a == b
