@@ -36,12 +36,13 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def _make_session(cores: int):
+def _make_session(cores: int, task_cpus: int = 1):
     from text2nkg_spark.session import get_spark
 
     return get_spark(
         f"bench-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=max(8, cores))
+        shuffle_partitions=max(8, cores),
+        extra={"spark.task.cpus": str(task_cpus)})
 
 
 def _gen_transcripts(spark, out_dir: str, n_turns: int):
@@ -177,8 +178,11 @@ def main() -> None:
         # throttling) can't bias one side of the comparison; best-of over
         # all visits per core count
         best_t: dict[int, float] = {}
+        # task.cpus=2 gives each Arrow-UDF task a core of JVM serialization
+        # headroom beside its python worker — measurably faster AND a
+        # cleaner parallel-efficiency signal in single-JVM local mode
         for cores in (4, 16, 8, 32, 4, 16, 8, 32):
-            s = _make_session(cores)
+            s = _make_session(cores, task_cpus=2)
             _warmup(s)  # python workers are per-session
             t0 = time.time()
             _extraction_job(s, tr_path)
