@@ -142,3 +142,29 @@ def test_multi_gold_recovery_on_reference_corpus(spark, schema):
     inter = len(got & gold)
     assert inter / max(len(gold), 1) >= 0.95, (len(got), len(gold), inter)
     assert inter / max(len(got), 1) >= 0.95, (len(got), len(gold), inter)
+
+
+@pytest.mark.parametrize("schema", ["event", "role", "hypergraph"])
+def test_multi_schema_prf_metrics(spark, schema):
+    """A2/A3 for the non-hyperrelation schemas: gold-scored extraction over
+    the reference dev corpus scores high q_p/q_r through the golden-set
+    membership joins (6-ordering expansion with per-slot labels)."""
+    path = f"{REF}/hyperred_{schema}/dev.json"
+    if not os.path.exists(path):
+        pytest.skip("missing reference corpus")
+    from text2nkg_spark.operators.metrics import multi_schema_prf
+    from text2nkg_spark.operators.normalize import (
+        normalize_reference_docs, with_line_numbers)
+    from text2nkg_spark.sources.io import read_reference_jsonl
+
+    docs = with_line_numbers(read_reference_jsonl(spark, path)).limit(120)
+    norm = normalize_reference_docs(docs, schema).cache()
+    labels = labels_from_normalized(norm, schema)
+    preds = extract_facts_multi(
+        norm, schema, PipelineConfig(scorer="gold"), labels)
+    m = multi_schema_prf(preds, norm, schema)
+    assert m["num_q_ans"] > 50
+    # collisions between gold relations over shared unordered triples bound
+    # recall below 1 on real data (reference-algorithm property)
+    assert m["q_p"] >= 0.85, m
+    assert m["q_r"] >= 0.80, m

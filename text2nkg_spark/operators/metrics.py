@@ -130,6 +130,98 @@ def relation_qualifier_prf(preds: DataFrame, gold: DataFrame) -> dict[str, float
     }
 
 
+def gold_six_multi(norm: DataFrame, schema: str) -> DataFrame:
+    """All-6-ordering golden qualifier sets for event/role/hypergraph
+    (run_re.py:374-397, 407-430, 440-463): each ordered arrangement carries
+    per-slot labels — lab(h)=role_h, lab(t)=role_t (event) / rel-slot (role),
+    lab(q)=qualifier label; hypergraph uses the relation label everywhere.
+
+    norm: normalized docs (operators/normalize.py).  Output rows:
+    (doc_id, sent_idx, m1s, m1e, m2s, m2e, rel, m3s, m3e, l1, l2, l3)
+    with l1/l2/l3 the m1/m2/m3 slot labels (rel null for role).
+    """
+    base = norm.select(
+        "doc_id", "sent_idx", F.explode("relations").alias("x")
+    ).select(
+        "doc_id", "sent_idx",
+        F.col("x.h_s").alias("hs"), F.col("x.h_e").alias("he"),
+        F.col("x.t_s").alias("ts"), F.col("x.t_e").alias("te"),
+        F.col("x.rel").alias("rel"),
+        F.col("x.role_h").alias("role_h"), F.col("x.role_t").alias("role_t"),
+        F.explode("x.quals").alias("q"),
+    ).select(
+        "doc_id", "sent_idx", "hs", "he", "ts", "te", "rel",
+        "role_h", "role_t",
+        F.col("q.q_s").alias("qs"), F.col("q.q_e").alias("qe"),
+        F.col("q.label").alias("qlab"),
+    )
+    if schema == "event":
+        lab = {"h": F.col("role_h"), "t": F.col("role_t"), "q": F.col("qlab")}
+        rel_out = F.col("rel")
+    elif schema == "role":
+        lab = {"h": F.col("role_h"), "t": F.col("rel"), "q": F.col("qlab")}
+        rel_out = F.lit(None).cast("string")
+    elif schema == "hypergraph":
+        lab = {"h": F.col("rel"), "t": F.col("rel"), "q": F.col("rel")}
+        rel_out = F.col("rel")
+    else:
+        raise ValueError(schema)
+
+    span = {"h": ("hs", "he"), "t": ("ts", "te"), "q": ("qs", "qe")}
+    from itertools import permutations
+
+    parts = []
+    for m1, m2, m3 in permutations("htq", 3):
+        parts.append(
+            base.select(
+                "doc_id", "sent_idx",
+                F.col(span[m1][0]).alias("m1s"), F.col(span[m1][1]).alias("m1e"),
+                F.col(span[m2][0]).alias("m2s"), F.col(span[m2][1]).alias("m2e"),
+                rel_out.alias("rel"),
+                F.col(span[m3][0]).alias("m3s"), F.col(span[m3][1]).alias("m3e"),
+                lab[m1].alias("l1"), lab[m2].alias("l2"), lab[m3].alias("l3"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def multi_schema_prf(preds: DataFrame, norm: DataFrame, schema: str) -> dict:
+    """q_p / q_r for the event/role/hypergraph extraction output
+    (extraction_multi.MULTI_FACT_SCHEMA rows) vs the 6-ordering golden set —
+    the reference's q_cor / tot_pred / q_tot_recall counting
+    (run_re.py:1703-1741 et al.)."""
+    keys = ["doc_id", "sent_idx", "m1s", "m1e", "m2s", "m2e", "rel",
+            "m3s", "m3e", "l1", "l2", "l3"]
+    p = preds.select(
+        "doc_id", "sent_idx", "m1s", "m1e", "m2s", "m2e", "rel",
+        "m3s", "m3e",
+        F.col("m1_label").alias("l1"), F.col("m2_label").alias("l2"),
+        F.col("m3_label").alias("l3"),
+    ).distinct()
+    g = gold_six_multi(norm, schema)
+    if schema == "hypergraph":
+        # hypergraph facts carry no per-slot labels (output_preds is
+        # (rel, m1, m2, m3) — run_re.py:2147); compare without them
+        keys = keys[:9]
+        p = p.drop("l1", "l2", "l3")
+        g = g.drop("l1", "l2", "l3").distinct()
+    cmp_keys = [k for k in keys if k != "rel"] + (
+        ["rel"] if schema != "role" else [])
+    cor = p.join(g, [k for k in cmp_keys], "left_semi").count()
+    tot_pred = p.count()
+    q_tot_recall = norm.agg(
+        F.sum(F.aggregate(
+            "relations", F.lit(0), lambda a, x: a + F.size(x["quals"]))
+        )).collect()[0][0] or 0
+    q_p = cor / tot_pred if tot_pred else 0.0
+    q_r = cor / q_tot_recall if q_tot_recall else 0.0
+    return {"q_p": q_p, "q_r": q_r, "correct_q": cor,
+            "num_q_pred": tot_pred, "num_q_ans": int(q_tot_recall)}
+
+
 def gold_compacted_json(gold_with_tokens: DataFrame) -> DataFrame:
     """Gold-side canonical compacted-fact JSON (run_re.py:2445-2472),
     built with higher-order functions only — no UDF, no shuffle.
