@@ -168,3 +168,21 @@ def test_multi_schema_prf_metrics(spark, schema):
     # recall below 1 on real data (reference-algorithm property)
     assert m["q_p"] >= 0.85, m
     assert m["q_r"] >= 0.80, m
+
+
+def test_event_argument_view(spark):
+    from text2nkg_spark.operators.extraction_multi import event_argument_view
+
+    preds = spark.createDataFrame(
+        [(1, 0, 0, "[r]e1", 0, 1, "[k]a", 2, 3, "[k]b", 4, 5, "[k]c"),
+         (1, 0, 1, "[r]e1", 0, 1, "[k]a", 6, 7, "[k]d", 4, 5, "[k]c")],
+        "doc_id long, sent_idx int, pred_idx int, rel string, "
+        "m1s int, m1e int, m1_label string, m2s int, m2e int, m2_label string, "
+        "m3s int, m3e int, m3_label string")
+    rows = event_argument_view(preds).collect()
+    keys = {(r.rel, r.arg_s, r.arg_e, r.arg_label) for r in rows}
+    # 6 emitted arguments, 2 duplicates collapsed -> 4 distinct
+    assert len(rows) == 4 and len(keys) == 4
+    first = {(r.arg_s, r.arg_e): (r.pred_idx, r.slot) for r in rows}
+    assert first[(0, 1)] == (0, 0)   # kept first occurrence
+    assert first[(4, 5)] == (0, 2)

@@ -133,6 +133,35 @@ def score_heads(
     return heads
 
 
+def event_argument_view(preds):
+    """D6 tail — event facts exploded to one row per (event, argument) with
+    order-preserving dedup (run_re.py:1727-1751 ``event_output_preds``)."""
+    from pyspark.sql import functions as F
+
+    args = []
+    for slot, (s, e, lab) in enumerate(
+            (("m1s", "m1e", "m1_label"), ("m2s", "m2e", "m2_label"),
+             ("m3s", "m3e", "m3_label"))):
+        args.append(
+            preds.select(
+                "doc_id", "sent_idx", "pred_idx", "rel",
+                F.col(s).alias("arg_s"), F.col(e).alias("arg_e"),
+                F.col(lab).alias("arg_label"),
+                F.lit(slot).alias("slot")))
+    out = args[0]
+    for a in args[1:]:
+        out = out.unionByName(a)
+    # first-occurrence order: (pred_idx, slot) is the reference's emission
+    # order; dedup keeps the minimum
+    return (
+        out.groupBy("doc_id", "sent_idx", "rel", "arg_s", "arg_e", "arg_label")
+        .agg(F.min(F.struct("pred_idx", "slot")).alias("first_seen"))
+        .select("doc_id", "sent_idx", "rel", "arg_s", "arg_e", "arg_label",
+                F.col("first_seen.pred_idx").alias("pred_idx"),
+                F.col("first_seen.slot").alias("slot"))
+    )
+
+
 def extract_facts_multi(norm_df, schema: str, cfg: PipelineConfig,
                         labels: SchemaLabels):
     """Normalized docs -> schema-shaped fact rows (fused mapInPandas)."""
