@@ -223,3 +223,17 @@ def test_mention_surfaces(spark, data):
     assert row is not None
     bad = surf.where(~F.col("surface").startswith("ent")).count()
     assert bad == 0
+
+
+def test_conv_level_compaction(spark, data, extraction):
+    """'conv' mode merges same-(rel,subj,obj) facts across turns with
+    document-order qualifier merging (literal run_re.py:2400-2423)."""
+    cfg, space, preds = extraction
+    comp_turn = compacted_facts(fact_table(preds), per="turn")
+    comp_conv = compacted_facts(fact_table(preds), per="conv")
+    n_turn, n_conv = comp_turn.count(), comp_conv.count()
+    assert 0 < n_conv <= n_turn
+    # a conv-level fact's value count >= any same-key turn-level fact's
+    t = {(r.conv_id, r.rel, r.subj, r.obj): r.N for r in comp_conv.collect()}
+    for r in comp_turn.collect():
+        assert t[(r.conv_id, r.rel, r.subj, r.obj)] >= r.N

@@ -68,13 +68,32 @@ def _json_escape(col):
         F.regexp_replace(col, r"\\", r"\\\\"), '"', r'\"')
 
 
-def compacted_facts(facts: DataFrame) -> DataFrame:
+def compacted_facts(facts: DataFrame, per: str = "turn") -> DataFrame:
     """One row per compacted fact with reference-identical canonical JSON.
 
     Reproduces ``json.dumps({"N": n, "relation": .., "subject": ..,
     "object": .., qual1: [v, ...], ...})`` byte-for-byte, qualifier keys in
     first-occurrence order, values in prediction order.
+
+    ``per``: 'turn' compacts within a sentence — the reference's effective
+    granularity on its single-sentence documents; 'conv' compacts across a
+    whole conversation — the literal run_re.py:2400-2423 behavior, which
+    iterates a DOCUMENT's prediction lines, merging same-(rel+subj+obj)
+    facts across sentences.
     """
+    if per == "conv":
+        # global prediction order = document order: (turn, pred) — the
+        # reference walks a document's sentences in order (run_re.py:2372)
+        facts = facts.withColumn(
+            "pred_idx",
+            (F.col("turn_idx").cast("long") * 1_000_000 + F.col("pred_idx")))
+        facts = facts.withColumn("turn_idx", F.lit(-1))
+        # fact_id must also collapse across turns
+        facts = facts.withColumn(
+            "fact_id",
+            F.sha2(F.concat_ws("", "conv_id", "rel", "subj", "obj"), 256))
+    elif per != "turn":
+        raise ValueError(per)
     quals = (
         facts.groupBy("conv_id", "turn_idx", "fact_id", "rel", "subj", "obj", "qual")
         .agg(
