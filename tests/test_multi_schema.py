@@ -94,7 +94,7 @@ def test_multi_gold_recovery_on_reference_corpus(spark, schema):
         normalize_reference_docs, with_line_numbers)
     from text2nkg_spark.sources.io import read_reference_jsonl
 
-    docs = with_line_numbers(read_reference_jsonl(spark, path)).limit(150)
+    docs = with_line_numbers(read_reference_jsonl(spark, path))  # full dev split
     norm = normalize_reference_docs(docs, schema).cache()
     labels = labels_from_normalized(norm, schema)
     cfg = PipelineConfig(scorer="gold")
@@ -157,7 +157,7 @@ def test_multi_schema_prf_metrics(spark, schema):
         normalize_reference_docs, with_line_numbers)
     from text2nkg_spark.sources.io import read_reference_jsonl
 
-    docs = with_line_numbers(read_reference_jsonl(spark, path)).limit(120)
+    docs = with_line_numbers(read_reference_jsonl(spark, path))  # full dev split
     norm = normalize_reference_docs(docs, schema).cache()
     labels = labels_from_normalized(norm, schema)
     preds = extract_facts_multi(
