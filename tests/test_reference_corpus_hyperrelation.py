@@ -1,0 +1,67 @@
+"""The headline parity claim on the PRIMARY schema: gold-scored
+hyperrelation extraction over the reference's own dev corpus (1000 docs),
+scored with the reference's own golden-set metrics (A2/A3)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.config import PipelineConfig
+from text2nkg_spark.operators.extraction import extract_facts_fused
+from text2nkg_spark.operators.metrics import relation_qualifier_prf
+from text2nkg_spark.sources.io import load_label_space_json, read_reference_jsonl
+
+REF = "/root/reference/datasets/hyperred_processed_data/hyperred_hyperrelation"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/dev.json"), reason="reference data missing")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from text2nkg_spark.operators.normalize import (
+        normalize_reference_docs, with_line_numbers)
+
+    docs = with_line_numbers(read_reference_jsonl(spark, f"{REF}/dev.json"))
+    norm = normalize_reference_docs(docs, "hyperrelation")
+    # adapt to the transcript-pipeline contract: one turn per sentence
+    sents = norm.select(
+        F.concat(F.lit("conv"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("sent_idx").cast("int").alias("turn_idx"),
+        F.array_join("tokens", " ").alias("text"),
+        F.transform("ner", lambda m: m["start"]).alias("m_starts"),
+        F.transform("ner", lambda m: m["end"]).alias("m_ends"),
+        F.transform(
+            "relations",
+            lambda r: F.struct(
+                r["h_s"].alias("h_s"), r["h_e"].alias("h_e"),
+                r["t_s"].alias("t_s"), r["t_e"].alias("t_e"),
+                r["rel"].alias("rel"), r["quals"].alias("quals"))
+        ).alias("gold_relations"),
+    )
+    gold = sents.select(
+        "conv_id", "turn_idx", F.col("gold_relations").alias("relations"))
+    return sents.cache(), gold.cache()
+
+
+def test_hyperrelation_parity_on_reference_dev(spark, corpus):
+    sents, gold = corpus
+    space, _raw = load_label_space_json(f"{REF}/label.json")
+    cfg = PipelineConfig(scorer="gold")
+    preds = extract_facts_fused(sents, cfg, space).cache()
+
+    m = relation_qualifier_prf(preds, gold)
+    assert m["num_q_ans"] == 1342  # survey-counted dev qualifiers
+    assert m["num_r_ans"] == 1201
+
+    # Precision is perfect, and recall hits EXACTLY the reference
+    # algorithm's theoretical ceiling: the decode emits one fact per
+    # unordered non-degenerate span triple (visited-set semantics), and dev
+    # has exactly 1253 such distinct triples for its 1342 gold qualifiers —
+    # measured q_cor == 1253 == the ceiling, i.e. the engine realizes the
+    # reference's exact attainable performance on its own corpus.
+    assert m["q_p"] == 1.0, m
+    assert m["p"] == 1.0, m
+    assert m["correct_q"] == 1253, m
+    assert m["q_r"] >= 1253 / 1342 - 1e-9, m
