@@ -37,10 +37,16 @@ def test_connected_components_vs_union_find(spark, seed):
     edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))
              if a != b]
     df = spark.createDataFrame(edges, "src long, dst long")
+    # exercise BOTH paths: distributed star algorithm and local union-find
     got = {
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    got_local = {
         (r.node, r.component)
         for r in connected_components(df).collect()
     }
+    assert got == got_local
     want_map = _union_find(n, edges)
     nodes_in_edges = {u for e in edges for u in e}
     want = {(x, want_map[x]) for x in nodes_in_edges}
