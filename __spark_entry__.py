@@ -457,10 +457,12 @@ def q_similarity_lsh_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Binary-payload decode + pooled features, projected long-format so
+    every output column is a sortable scalar (driver canonicalization)."""
     from text2nkg_spark.operators.multimodal import (
-        extract_features, synth_media_df)
+        extract_features, feature_scalars, synth_media_df)
 
-    return extract_features(synth_media_df(spark, n=64))
+    return feature_scalars(extract_features(synth_media_df(spark, n=64)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -757,6 +759,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vec_id AS BIGINT) AS vec_id,
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "multimodal_features": """
+            WITH m AS (SELECT unnest(range(64)) AS media_id),
+            b AS (
+              SELECT m.media_id, j.j,
+                     CAST((m.media_id*37 + j.j*11 + (j.j*j.j) % 29) % 256
+                          AS DOUBLE) AS byte
+              FROM m, (SELECT unnest(range(256)) AS j) j)
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(16 AS INT) AS feat_dim,
+                   CAST(j // 16 AS INT) AS dim,
+                   sum(byte) / 16 / 255 AS value
+            FROM b GROUP BY media_id, j // 16
         """,
         "emb_neardup": """
             WITH e AS (

@@ -2,14 +2,22 @@
 
 The Spark-side machinery (schemas, batch shapes, partition sizing, UDF
 signatures) is real and tested; the actual media DECODE is stubbed behind
-``_decode_image`` because no image/audio libraries ship in this container —
+``_decode_batch`` because no image/audio libraries ship in this container —
 swap in PIL/torchaudio there and nothing else changes.
+
+The synthetic payload bytes follow a closed-form formula
+(``byte[j] = (id*37 + j*11 + j*j % 29) % 256``) so the whole
+decode→pool pipeline has an exact ANSI-SQL oracle: the pooled feature is
+``sum(bytes in group)/16/255`` computed in float64, bit-identical between
+numpy and DuckDB (integer sums are exact; the two divisions are the same
+IEEE ops in the same order).
 
 Scale notes: media rows are wide (MBs) — keep
 ``spark.sql.files.maxPartitionBytes`` low for media tables, process with
-``mapInPandas`` (Arrow moves the bytes once), and always project metadata
-columns separately from payloads so Parquet column pruning skips the blobs
-when only metadata is needed.
+``mapInPandas`` (Arrow moves the bytes once, and the UDF body is fully
+vectorized numpy — no per-row Python), and always project metadata columns
+separately from payloads so Parquet column pruning skips the blobs when only
+metadata is needed.
 """
 
 from __future__ import annotations
@@ -26,72 +34,106 @@ MEDIA_SCHEMA = (
     "mime:string>"
 )
 
-FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, feat_dim int"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, feature array<double>, feat_dim int"
+)
+
+_KINDS = ("image", "audio", "video")
+_PAYLOAD_LEN = 256
+
+
+def synth_payload_bytes(ids: np.ndarray) -> np.ndarray:
+    """(B, 256) uint8 payloads from the closed-form byte formula."""
+    j = np.arange(_PAYLOAD_LEN, dtype=np.int64)
+    b = (ids[:, None] * 37 + j[None, :] * 11 + (j * j) % 29) % 256
+    return b.astype(np.uint8)
 
 
 def synth_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table for plumbing tests (seeded bytes)."""
+    """Deterministic fake media table for plumbing tests (formula bytes,
+    reproducible in ANSI SQL — see module docstring)."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                rng = np.random.default_rng((1234, int(i)))
-                kind = ["image", "audio", "video"][int(i) % 3]
-                payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
-                rows.append(
-                    {
-                        "media_id": int(i),
-                        "kind": kind,
-                        "payload": payload,
-                        "meta": {
-                            "width": 64 if kind == "image" else None,
-                            "height": 64 if kind == "image" else None,
-                            "sample_rate": 16000 if kind == "audio" else None,
-                            "duration_ms": 1000 if kind != "image" else None,
-                            "mime": f"{kind}/fake",
-                        },
-                    }
-                )
-            yield pd.DataFrame(rows)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            payloads = synth_payload_bytes(ids)
+            kinds = [_KINDS[int(i) % 3] for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "payload": [p.tobytes() for p in payloads],
+                    "meta": [
+                        {
+                            "width": 64 if k == "image" else None,
+                            "height": 64 if k == "image" else None,
+                            "sample_rate": 16000 if k == "audio" else None,
+                            "duration_ms": 1000 if k != "image" else None,
+                            "mime": f"{k}/fake",
+                        }
+                        for k in kinds
+                    ],
+                }
+            )
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decode (replace with PIL.Image.open).
+def _decode_batch(payloads: list[bytes]) -> np.ndarray:
+    """STUB — deterministic fake decode (replace with PIL.Image.open etc.).
 
     Raises NotImplementedError for real media; test payloads (256 bytes)
-    decode to a fake 8x8x4 'pixel' array derived from the bytes.
+    decode to (B, 256) uint8 'pixel' matrices in one ``frombuffer`` over the
+    stacked batch (no per-row Python).
     """
-    if len(payload) != 256:
+    if any(len(p) != _PAYLOAD_LEN for p in payloads):
         raise NotImplementedError(
             "real media decoding requires PIL/torchaudio — not shipped here")
-    return np.frombuffer(payload, dtype=np.uint8).reshape(8, 8, 4)
+    if not payloads:
+        return np.empty((0, _PAYLOAD_LEN), dtype=np.uint8)
+    return np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(
+        len(payloads), _PAYLOAD_LEN)
 
 
 def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
     """Batched feature extraction over binary payloads (mapInPandas).
 
-    The 'model' is a deterministic projection of decoded bytes — the point
-    under test is the Arrow round-trip of binary columns, batch shapes, and
-    a stable output schema.
+    The 'model' is a deterministic float64 pooling of decoded bytes — the
+    point under test is the Arrow round-trip of binary columns, batch
+    shapes, and a stable output schema.  Pooling runs in float64 so the
+    values are bit-identical to the SQL oracle (exact integer sums, then
+    two IEEE divisions).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                arr = _decode_image(bytes(row["payload"])).astype(np.float32)
-                flat = arr.reshape(-1)
-                # deterministic pooled 'embedding'
-                pooled = flat.reshape(feat_dim, -1).mean(axis=1) / 255.0
-                feats.append(
-                    (int(row["media_id"]), row["kind"],
-                     pooled.astype(np.float32).tolist(), feat_dim))
+            raw = _decode_batch([bytes(p) for p in pdf["payload"]])
+            # (B, feat_dim): mean over contiguous byte groups, scaled
+            pooled = raw.astype(np.float64).reshape(
+                len(pdf), feat_dim, -1).mean(axis=2) / 255.0
             yield pd.DataFrame(
-                feats, columns=["media_id", "kind", "feature", "feat_dim"])
+                {
+                    "media_id": pdf["media_id"].to_numpy(dtype=np.int64),
+                    "kind": pdf["kind"].to_numpy(),
+                    "feature": list(pooled),
+                    "feat_dim": feat_dim,
+                }
+            )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def feature_scalars(feats: DataFrame) -> DataFrame:
+    """Long-format scalar projection of the feature vectors — every column
+    sortable/hashable, for engines (and drivers) that cannot canonicalize
+    array cells."""
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.col("feat_dim").cast("int").alias("feat_dim"),
+        F.posexplode("feature").alias("dim", "value"),
+    ).select("media_id", "kind", "feat_dim",
+             F.col("dim").cast("int").alias("dim"), "value")
 
 
 def media_metadata_stats(media: DataFrame) -> DataFrame:
