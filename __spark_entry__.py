@@ -58,6 +58,31 @@ transcripts AS (
 """
 
 
+# DuckDB twin of _gold_oracle_corpus: per doc_id, the three mention spans,
+# surfaces, the (h,t,q) permutation indices, and the labels
+_GOLD_CORPUS_CTE = f"""
+gsrc AS (
+  SELECT doc_id AS d, CAST(doc_id % 2 AS INT) AS two,
+         CAST(doc_id % 6 AS INT) AS p
+  FROM documents),
+b AS (
+  SELECT 'conv' || CAST(d % {_N_CONVS} AS VARCHAR) AS conv_id,
+         CAST(d // {_N_CONVS} AS INT) AS turn_idx,
+         [[1, 1+two], [3+two, 3+two], [5+two, 5+two]] AS spans,
+         ['ent' || CAST(d AS VARCHAR) || 'a'
+            || CASE WHEN two = 1
+                    THEN ' ent' || CAST(d AS VARCHAR) || 'b' ELSE '' END,
+          'ent' || CAST(d AS VARCHAR) || 'c',
+          'ent' || CAST(d AS VARCHAR) || 'd'] AS surfs,
+         [0,0,1,1,2,2][p+1] AS hi,
+         [1,2,0,2,0,1][p+1] AS ti,
+         [2,1,2,0,1,0][p+1] AS qi,
+         '[r]rel_' || CAST(d % 3 AS VARCHAR) AS rel,
+         '[k]qual_' || CAST(two AS VARCHAR) AS qual
+  FROM gsrc)
+"""
+
+
 def _dict_pred(t):
     return t.isin(*_DICT)
 
@@ -183,6 +208,108 @@ def q_nkg_entities(spark, sf_dir):
         "entity_id", "canonical_surface",
         F.col("n_surfaces").cast("long").alias("n_surfaces"),
         F.col("n_mentions").cast("long").alias("n_mentions"))
+
+
+# --------------------------------------------------------------------------
+# gold-scored extraction with an exact SQL oracle (C3 + D2-D4 + G1/G2
+# end-to-end): the corpus is derived from documents.doc_id by closed-form
+# arithmetic, every sentence plants exactly one gold relation over three
+# disjoint mentions, and the gold scorer provably emits exactly the planted
+# facts (non-gold span triples one-hot at class 0 => dropped by decode), so
+# the expected output is a pure SQL reshaping of the same arithmetic.
+# --------------------------------------------------------------------------
+
+# (h, t, q) mention-index permutation per sentence (d % 6) — exercises all
+# six anchor orientations of the ensemble decode
+_PERM_H = (0, 0, 1, 1, 2, 2)
+_PERM_T = (1, 2, 0, 2, 0, 1)
+_PERM_Q = (2, 1, 2, 0, 1, 0)
+
+
+def _gold_oracle_corpus(spark, sf_dir):
+    """(transcripts, gold) for the oracle corpus.
+
+    Sentence for doc_id=d: tokens ``the E0 ran E1 plan E2 done`` where
+    E0 = ``ent{d}a`` (+ `` ent{d}b`` when d is odd), E1 = ``ent{d}c``,
+    E2 = ``ent{d}d``.  Gold: (h,t,q) = perm(d%6) over the three mentions,
+    rel = ``[r]rel_{d%3}``, qualifier label = ``[k]qual_{d%2}`` on q's span.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    sd = d.cast("string")
+    two = (d % 2).cast("int")
+    e0 = F.concat(
+        F.lit("ent"), sd, F.lit("a"),
+        F.when(two == 1, F.concat(F.lit(" ent"), sd, F.lit("b")))
+        .otherwise(F.lit("")))
+    surfs = F.array(
+        e0,
+        F.concat(F.lit("ent"), sd, F.lit("c")),
+        F.concat(F.lit("ent"), sd, F.lit("d")))
+    starts = F.array(F.lit(1).cast("int"), two + 3, two + 5)
+    ends = F.array((two + 1).cast("int"), two + 3, two + 5)
+    p = (d % 6).cast("int")
+    hi = F.element_at(F.array(*[F.lit(x) for x in _PERM_H]), p + 1)
+    ti = F.element_at(F.array(*[F.lit(x) for x in _PERM_T]), p + 1)
+    qi = F.element_at(F.array(*[F.lit(x) for x in _PERM_Q]), p + 1)
+
+    def span_s(ix):
+        return F.element_at(starts, ix + 1).cast("int")
+
+    def span_e(ix):
+        return F.element_at(ends, ix + 1).cast("int")
+
+    rel = F.concat(F.lit("[r]rel_"), (d % 3).cast("string"))
+    qual = F.concat(F.lit("[k]qual_"), two.cast("string"))
+    relations = F.array(F.struct(
+        span_s(hi).alias("h_s"), span_e(hi).alias("h_e"),
+        span_s(ti).alias("t_s"), span_e(ti).alias("t_e"),
+        rel.alias("rel"),
+        F.array(F.struct(
+            span_s(qi).alias("q_s"), span_e(qi).alias("q_e"),
+            qual.alias("label"))).alias("quals")))
+    base = docs.select(
+        F.concat(F.lit("conv"), (d % _N_CONVS).cast("string")).alias("conv_id"),
+        F.floor(d / _N_CONVS).cast("int").alias("turn_idx"),
+        F.concat_ws(
+            " ", F.lit("the"), e0, F.lit("ran"), F.element_at(surfs, 2),
+            F.lit("plan"), F.element_at(surfs, 3), F.lit("done")).alias("text"),
+        relations.alias("relations"),
+    )
+    return (base.select("conv_id", "turn_idx", "text"),
+            base.select("conv_id", "turn_idx", "relations"))
+
+
+def _gold_extract_preds(spark, sf_dir):
+    from text2nkg_spark.config import PipelineConfig
+    from text2nkg_spark.labels import LabelSpace, make_synthetic_labels
+    from text2nkg_spark.plans.pipeline import extract
+
+    tr, gold = _gold_oracle_corpus(spark, sf_dir)
+    space = LabelSpace.build(*make_synthetic_labels(3, 2))
+    return extract(tr, PipelineConfig(scorer="gold"), space, gold=gold)
+
+
+def q_nkg_gold_extract(spark, sf_dir):
+    """Gold-scored extraction, driver-oracle-exact end to end (mention
+    detection -> C3 enumeration -> 6-perm ensemble decode D2-D4 -> G1 span
+    text projection).  Scores are noise-dependent and excluded."""
+    return _gold_extract_preds(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.col("pred_idx").cast("int").alias("pred_idx"),
+        "m1s", "m1e", "m2s", "m2e", "rel", "m3s", "m3e", "qual",
+        "subj", "obj", "value")
+
+
+def q_nkg_gold_compacted(spark, sf_dir):
+    """G2 compaction over the gold extraction, including the byte-exact
+    canonical JSON and the sha256 fact_id — all SQL-reproducible."""
+    from text2nkg_spark.operators.facts import compacted_facts, fact_table
+
+    comp = compacted_facts(fact_table(_gold_extract_preds(spark, sf_dir)))
+    return comp.select(
+        "conv_id", "turn_idx", "fact_id", "rel", "subj", "obj",
+        F.col("N").cast("int").alias("N"), "canonical_json")
 
 
 def _q_multi_schema(schema):
@@ -473,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_mentions": q_nkg_mentions,
         "nkg_extract_facts": q_nkg_extract_facts,
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
+        "nkg_gold_extract": q_nkg_gold_extract,
+        "nkg_gold_compacted": q_nkg_gold_compacted,
         "nkg_compacted": q_nkg_compacted,
         "nkg_entities": q_nkg_entities,
         "nkg_event_extract": _q_multi_schema("event"),
@@ -564,6 +693,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) AS INT) AS "end",
                    string_agg(tk, ' ' ORDER BY pos) AS surface
             FROM g GROUP BY conv_id, turn_idx, run_id
+        """,
+        "nkg_gold_extract": f"""
+            WITH {_GOLD_CORPUS_CTE}
+            SELECT conv_id, turn_idx, CAST(0 AS INT) AS pred_idx,
+                   CAST(spans[hi+1][1] AS INT) AS m1s,
+                   CAST(spans[hi+1][2] AS INT) AS m1e,
+                   CAST(spans[ti+1][1] AS INT) AS m2s,
+                   CAST(spans[ti+1][2] AS INT) AS m2e,
+                   rel,
+                   CAST(spans[qi+1][1] AS INT) AS m3s,
+                   CAST(spans[qi+1][2] AS INT) AS m3e,
+                   qual,
+                   surfs[hi+1] AS subj, surfs[ti+1] AS obj,
+                   surfs[qi+1] AS value
+            FROM b
+        """,
+        "nkg_gold_compacted": f"""
+            WITH {_GOLD_CORPUS_CTE}
+            SELECT conv_id, turn_idx,
+                   sha256(concat_ws(chr(1), conv_id,
+                          CAST(turn_idx AS VARCHAR), rel,
+                          surfs[hi+1], surfs[ti+1])) AS fact_id,
+                   rel, surfs[hi+1] AS subj, surfs[ti+1] AS obj,
+                   CAST(3 AS INT) AS N,
+                   '{{"N": 3, "relation": "' || rel || '", "subject": "'
+                     || surfs[hi+1] || '", "object": "' || surfs[ti+1]
+                     || '", "' || qual || '": ["' || surfs[qi+1] || '"]}}'
+                     AS canonical_json
+            FROM b
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
