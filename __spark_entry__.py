@@ -557,30 +557,51 @@ def q_emb_topk(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
+    """Cosine pairs within hyperplane-LSH buckets (the scale-safe default
+    blocking); md5-derived plane weights make the buckets SQL-reproducible."""
     from text2nkg_spark.operators.dedup import embedding_cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_cosine_pairs(emb, threshold=0.8).select(
+    return embedding_cosine_pairs(emb, threshold=0.3).select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
+        "cosine",
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard within (lang, length-bucket) blocks."""
+    from text2nkg_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, threshold=0.4).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard")
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """xxhash64-based SimHash (rows-only: no xxhash64 in DuckDB)."""
+    """52-bit md5-derived SimHash with 13-bit chunk blocking (oracle-exact)."""
     from text2nkg_spark.operators.dedup import simhash_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(d, max_hamming=6)
+    return simhash_pairs(d, max_hamming=6).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_similarity_lsh_topk(spark, sf_dir):
+    """Bucketed ANN top-k; integer ranks only (robust driver hashing)."""
     from text2nkg_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, queries, k=10)
+    return lsh_topk(emb, queries, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("int").alias("rank"))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -617,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_dedup_minhash_signature,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -632,6 +654,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+# ---- DuckDB twins of the md5-derived hash primitives ----------------------
+# 52-bit hash = first 13 hex chars of md5, parsed by digit-sum (every value
+# is exactly float64-representable, so CAST is exact); mirrors
+# text2nkg_spark.operators.similarity.md5_hash52 bit-for-bit.
+
+_CENTER_52 = 1 << 51
+
+
+def _hex52_sql(x: str) -> str:
+    return ("CAST(list_sum(list_transform(range(1,14), hx -> "
+            f"strpos('123456789abcdef', substr(md5({x}), hx, 1)) "
+            "* (16.0 ** (13 - hx)))) AS BIGINT)")
+
+
+def _norm_sql(vec: str) -> str:
+    return ("sqrt(list_reduce(list_prepend(0.0, list_transform("
+            f"range(1, len({vec}) + 1), i -> CAST({vec}[i] AS DOUBLE) "
+            f"* CAST({vec}[i] AS DOUBLE))), (a, x) -> a + x))")
+
+
+def _dot_sql(u: str, v: str) -> str:
+    return ("list_reduce(list_prepend(0.0, list_transform("
+            f"range(1, len({u}) + 1), i -> CAST({u}[i] AS DOUBLE) "
+            f"* CAST({v}[i] AS DOUBLE))), (a, x) -> a + x)")
+
+
+def _bucket_sql(vec: str, planes: int = 8, seed: int = 42) -> str:
+    """Hyperplane-LSH bucket id — the DuckDB twin of
+    similarity.hyperplane_bucket (same md5 weights, same left-fold order,
+    so the float64 projections and their signs match exactly)."""
+    def proj(p: int) -> str:
+        key = f"'{p}|' || CAST(i - 1 AS VARCHAR) || '|{seed}'"
+        w = f"CAST({_hex52_sql(key)} - {_CENTER_52} AS DOUBLE)"
+        return ("list_reduce(list_prepend(0.0, list_transform("
+                f"range(1, len({vec}) + 1), i -> CAST({vec}[i] AS DOUBLE) "
+                f"* {w})), (a, x) -> a + x)")
+
+    return " + ".join(
+        f"(CASE WHEN {proj(p)} > 0 THEN CAST({1 << p} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for p in range(planes))
+
+
+def _simhash_oracle_sql(max_hamming: int = 6) -> str:
+    """DuckDB twin of dedup.simhash_fingerprints + chunk-blocked pairs."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(52))
+    sh = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(52))
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+        h AS (SELECT doc_id, {_hex52_sql('t')} AS h FROM tok),
+        v AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, {sh} AS sh FROM v),
+        c AS (SELECT doc_id, sh, u.chunk_id,
+                     (sh >> (u.chunk_id * 13)) & 8191 AS chunk
+              FROM s, (SELECT unnest([0,1,2,3]) AS chunk_id) u),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                 l.sh AS sha, r.sh AS shb
+          FROM c l JOIN c r ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+                           AND l.doc_id < r.doc_id)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+    """
+
 
 _STOP_EN = "['the','and','of','to','a','in','is','it','that','was']"
 _LANGS_SQL = """
@@ -826,6 +925,29 @@ def oracle_sql() -> dict[str, str]:
                      s -> md5('1|' || s)), 'min') AS sig1
             FROM sh
         """,
+        "dedup_ngram_jaccard": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     len(text) // 64 AS lb,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, lang, lb,
+                     list_distinct(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS grams
+              FROM base WHERE len(toks) >= 2)
+            SELECT CAST(l.doc_id AS BIGINT) AS a,
+                   CAST(r.doc_id AS BIGINT) AS b,
+                   CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(l.grams, r.grams)))
+                     AS jaccard
+            FROM sh l JOIN sh r
+              ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
+            WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(l.grams, r.grams))) >= 0.4
+        """,
         "text_quality": """
             WITH base AS (
               SELECT doc_id, text,
@@ -933,21 +1055,44 @@ def oracle_sql() -> dict[str, str]:
                    sum(byte) / 16 / 255 AS value
             FROM b GROUP BY media_id, j // 16
         """,
-        "emb_neardup": """
-            WITH e AS (
-              SELECT vec_id, label, embedding,
-                     sqrt(list_sum(list_transform(embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-              FROM embeddings
-              WHERE list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)
+        "emb_neardup": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {_bucket_sql('embedding')} AS bkt,
+                     {_norm_sql('embedding')} AS nrm
+              FROM embeddings),
+            f AS (SELECT * FROM b WHERE nrm > 0)
             SELECT CAST(l.vec_id AS BIGINT) AS a,
-                   CAST(r.vec_id AS BIGINT) AS b
-            FROM e l JOIN e r
-              ON l.label = r.label AND l.vec_id < r.vec_id
-            WHERE list_sum(list_transform(
-                    list_zip(l.embedding, r.embedding),
-                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                  / (l.nrm * r.nrm) >= 0.8
+                   CAST(r.vec_id AS BIGINT) AS b,
+                   {_dot_sql('l.embedding', 'r.embedding')}
+                     / (l.nrm * r.nrm) AS cosine
+            FROM f l JOIN f r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
+            WHERE {_dot_sql('l.embedding', 'r.embedding')}
+                  / (l.nrm * r.nrm) >= 0.3
+        """,
+        "dedup_simhash_pairs": _simhash_oracle_sql(max_hamming=6),
+        "similarity_lsh_topk": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {_bucket_sql('embedding')} AS bkt,
+                     {_norm_sql('embedding')} AS nrm
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bkt,
+                         nrm AS qn
+                  FROM b WHERE vec_id < 5),
+            s AS (
+              SELECT q.query_id, b.vec_id,
+                     {_dot_sql('q.qv', 'b.embedding')} / (q.qn * b.nrm)
+                       AS cosine
+              FROM q JOIN b USING (bkt)),
+            r AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
         """,
     }

@@ -55,6 +55,37 @@ def test_partition_pruning_on_bucketed_facts(spark, tmp_path):
     assert "conv_bucket" in p.split("PartitionFilters", 1)[1][:200]
 
 
+def test_embedding_pairs_join_is_bucket_blocked(spark):
+    """No unblocked self-join: the default embedding near-dup plan joins on
+    the hyperplane bucket (equi-join), never a nested-loop cartesian."""
+    from text2nkg_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(embedding_cosine_pairs(emb, threshold=0.5))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "_bkt" in p, "hyperplane bucket missing from join plan"
+
+
+def test_lsh_bucket_width_cap(spark):
+    """Degenerate LSH buckets are truncated: with W identical docs and a
+    cap of C, the banded self-join sees at most C rows per bucket, so pair
+    counts are C*(C-1)/2 instead of W*(W-1)/2."""
+    from text2nkg_spark.operators.dedup import minhash_lsh_pairs
+
+    w = 12
+    docs = spark.range(w).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated across the corpus")
+        .alias("text"))
+    capped = minhash_lsh_pairs(docs, max_bucket=5).count()
+    full = minhash_lsh_pairs(docs, max_bucket=0).count()
+    assert full == w * (w - 1) // 2
+    assert capped == 5 * 4 // 2
+    # the kept prefix still pairs the duplicate-cluster members together
+    kept = minhash_lsh_pairs(docs, max_bucket=5).collect()
+    assert all(r.jaccard == 1.0 for r in kept)
+
+
 def test_rollup_oracle(spark):
     """orders_rollup matches DuckDB GROUP BY ROLLUP (subtotal NULLs incl.)."""
     import tests.test_entry_contract as tc

@@ -8,20 +8,27 @@ is keyed and bounded:
                  bucket-join candidates -> exact-Jaccard verify.  md5-based
                  hashing (not xxhash) so a DuckDB oracle can reproduce the
                  signatures byte-for-byte.
-* SimHash      — 64-bit weighted sign-hash; near-dup candidates share one of
-                 four 16-bit chunks (Hamming<=3 within chunks blocking).
+* SimHash      — 52-bit weighted sign-hash over md5-derived token hashes
+                 (so a DuckDB oracle reproduces every fingerprint);
+                 near-dup candidates share one of four 13-bit chunks
+                 (pigeonhole: exact recall for Hamming<=3).
 * n-gram Jaccard — exact pairwise Jaccard within cheap blocks
                  (language + length bucket) for corpora where the pair count
                  per block stays bounded.
 
 At 100 TB: LSH and SimHash are the scale paths (near-linear); the banded
-self-joins are the only wide ops and AQE handles bucket skew (a hot bucket
-means a dominant near-dup cluster; cap bucket width with a salt-limit).
+self-joins are the only wide ops.  Every pair generator bounds its bucket
+width: ``max_bucket`` truncates degenerate LSH buckets (one shingle shared
+by millions of docs would otherwise become a single quadratic join task),
+and embedding near-dup blocks on a hyperplane-LSH bucket by default so no
+hot label can turn the self-join quadratic.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from text2nkg_spark.operators.similarity import hyperplane_bucket, md5_hash52
 
 
 def normalize_text(col):
@@ -129,6 +136,30 @@ def md5_minhash_signatures_exploded(
     return grams.groupBy("doc_id").agg(*aggs)
 
 
+def cap_bucket_width(
+    banded: DataFrame, keys: list[str], order_col: str, max_bucket: int
+) -> DataFrame:
+    """Truncate each bucket to its first ``max_bucket`` rows (deterministic
+    ``order_col`` order).
+
+    The LSH self-join is quadratic in bucket width; one degenerate bucket
+    (a boilerplate shingle shared by millions of docs) becomes a single
+    O(W^2) join task no AQE can split.  Truncation bounds every task at
+    max_bucket^2 pairs; members of a true duplicate cluster still pair with
+    each other inside the kept prefix (and exact dedup catches identical
+    docs regardless).  The window is one extra shuffle on the same join key,
+    O(W log W) per bucket — cheap insurance at 100 TB.
+    """
+    if max_bucket <= 0:
+        return banded
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        banded.withColumn("_bkt_rn", F.row_number().over(w))
+        .where(F.col("_bkt_rn") <= max_bucket)
+        .drop("_bkt_rn")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,6 +168,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 6,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, jaccard) via MinHash-LSH."""
     rows = num_hashes // bands
@@ -158,6 +190,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    banded = cap_bucket_width(
+        banded, ["band_id", "band_hash"], "doc_id", max_bucket)
     cand = (
         banded.alias("l")
         .join(
@@ -181,29 +215,37 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64_from_hashes(hashes, bits: int = 64) -> "F.Column":
-    """64-bit SimHash from a MATERIALIZED array<long> token-hash column
-    (pass a real column — the expression is referenced once per bit).
+SIMHASH_BITS = 52  # 13 hex chars of md5 — exactly float64-representable,
+SIMHASH_CHUNKS = 4  # so the DuckDB oracle reproduces every fingerprint
 
-    For each bit position (python-side loop — bit masks must be literals),
-    count tokens whose hash has the bit set vs not; bit := majority.
-    One pass, no shuffle.
-    """
 
-    def vote(mask):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda c, h: c + F.when(
-                h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh) 52-bit SimHash fingerprints.
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-        out = out + F.when(vote(mask) > 0, mask).otherwise(
-            F.lit(0).cast("long"))
-    return out
+    Shape: explode tokens -> md5_hash52 per token (computed ONCE, codegen)
+    -> one groupBy with 52 conditional-sum bit votes -> fingerprint
+    projection.  This is the whole-stage-codegen formulation: the HOF
+    fold variant re-evaluates the token hash array once per bit after
+    CollapseProject inlining (memory: 10-50x slower)."""
+    tok = with_norm_tokens(df, text_col).select(
+        F.col(id_col).alias("doc_id"), F.explode("_toks").alias("t"))
+    h = tok.select("doc_id", md5_hash52(F.col("t")).alias("h"))
+    one = F.lit(1).cast("long")
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftrightunsigned("h", b).bitwiseAND(one) == 1,
+                   1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    sh = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return votes.select("doc_id", sh.alias("sh"))
 
 
 def simhash_pairs(
@@ -211,26 +253,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 4096,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of four 16-bit chunks
+    """Near-dup pairs by SimHash: candidates share one of four 13-bit chunks
     (pigeonhole guarantees recall for Hamming <= 3), verified by exact
     Hamming distance via bit_count."""
-    base = (
-        with_norm_tokens(df, text_col)
-        .withColumn("_h", F.transform("_toks", lambda t: F.xxhash64(t)))
-        .select(F.col(id_col).alias("doc_id"),
-                simhash64_from_hashes(F.col("_h")).alias("sh"))
-    )
+    base = simhash_fingerprints(df, id_col, text_col)
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
     chunks = base.select(
         "doc_id", "sh",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned("sh", c * 16)
-                .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                for c in range(4)
+                F.shiftrightunsigned("sh", c * width)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                for c in range(SIMHASH_CHUNKS)
             ])
         ).alias("chunk_id", "chunk"),
     )
+    chunks = cap_bucket_width(
+        chunks, ["chunk_id", "chunk"], "doc_id", max_bucket)
     cand = (
         chunks.alias("l")
         .join(
@@ -294,24 +336,38 @@ def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    lsh_planes: int = 8,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold within blocks.
 
     The dot product / norms are ``aggregate``/``zip_with`` HOFs — JVM-side,
-    no UDF.  Blocking (label, or an LSH bucket from
-    similarity.hyperplane_bucket) keeps the self-join near-linear.
+    no UDF.  The DEFAULT block key is a hyperplane-LSH bucket
+    (similarity.hyperplane_bucket): unlike a data column such as ``label``
+    — where one hot value turns the self-join quadratic — bucket occupancy
+    is hash-distributed, so the join stays near-linear at any scale.
+    ``block_col`` narrows further (optional extra key); ``lsh_planes=0``
+    disables bucketing for small exact runs.  Candidates with cosine >=
+    ~0.95 land in the same bucket with P ~= (1 - acos(0.95)/pi)^planes;
+    run a second seed and union for higher recall.
     """
     norm = F.sqrt(F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    bucket_cols = (
+        [hyperplane_bucket(F.col(vec_col), lsh_planes, lsh_seed).alias("_bkt")]
+        if lsh_planes > 0 else [])
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         *([F.col(block_col)] if block_col else []),
+        *bucket_cols,
         F.col(vec_col).alias("v"),
         norm.alias("nrm"),
     ).where(F.col("nrm") > 0)
     cond = F.col("l.vec_id") < F.col("r.vec_id")
+    if lsh_planes > 0:
+        cond = cond & (F.col("l._bkt") == F.col("r._bkt"))
     if block_col:
         cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
     pairs = base.alias("l").join(base.alias("r"), cond)

@@ -5,15 +5,31 @@
   whole-stage codegen) — no Python in the hot path; ranking is a window
   ``row_number`` per query.
 * ``hyperplane_bucket`` / ``lsh_topk`` — the scale path: sign-random-
-  projection LSH.  Hyperplane directions are derived from ``xxhash64`` of
-  (plane, dim) — deterministic, computed inline, no side data to broadcast.
-  Queries probe only their own bucket; at 10^9+ vectors add multi-probe
-  (flip one bit) which unions a handful of bucket keys per query.
+  projection LSH.  Hyperplane directions are derived from ``md5`` of
+  (plane, dim, seed) — deterministic, computed inline, no side data to
+  broadcast, and reproducible in any engine with md5 (the DuckDB oracle
+  recomputes the buckets bit-for-bit).  Queries probe only their own
+  bucket; at 10^9+ vectors add multi-probe (flip one bit) which unions a
+  handful of bucket keys per query.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+# 2^51 — centers the 52-bit md5 hash so hyperplane weights are signed
+_CENTER_52 = 1 << 51
+
+
+def md5_hash52(col) -> "F.Column":
+    """52-bit integer hash: first 13 hex chars of md5, base-16 parsed.
+
+    52 bits keep the value exactly representable in a float64, which is what
+    lets a SQL engine without integer hex parsing (DuckDB) reproduce it via
+    digit-sum arithmetic — the cross-engine hash primitive for every
+    oracle-checked LSH/simhash operator.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
 
 
 def _norm(v):
@@ -58,20 +74,23 @@ def brute_force_topk(
 def hyperplane_bucket(vec_col, planes: int = 8, seed: int = 42):
     """Sign-random-projection bucket id (0..2^planes-1), fully inline.
 
-    Plane p's weight for dimension d = centered xxhash64(seed, p, d) —
-    a deterministic pseudo-gaussian surrogate adequate for bucketing.
+    Plane p's weight for dimension d = centered md5_hash52("p|d|seed") — a
+    deterministic pseudo-uniform surrogate adequate for bucketing, and
+    bit-reproducible in DuckDB (the projection is a left fold in element
+    order, so the float64 sum — and therefore the sign — matches exactly).
     """
     def projection(p: int):
+        def weight(i):
+            key = F.concat_ws(
+                "|", F.lit(str(p)), i.cast("string"), F.lit(str(seed)))
+            return (md5_hash52(key) - F.lit(_CENTER_52).cast("long")
+                    ).cast("double")
+
         return F.aggregate(
             F.zip_with(
                 vec_col,
                 F.transform(vec_col, lambda _x, i: i),
-                lambda x, i: x.cast("double")
-                * (
-                    F.xxhash64(F.lit(str(p)), i.cast("string"),
-                               F.lit(seed)).cast("double")
-                    / F.lit(float(2**63))
-                ),
+                lambda x, i: x.cast("double") * weight(i),
             ),
             F.lit(0.0), lambda a, x: a + x,
         )
