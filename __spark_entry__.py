@@ -312,10 +312,25 @@ def q_nkg_gold_compacted(spark, sf_dir):
         F.col("N").cast("int").alias("N"), "canonical_json")
 
 
-def _q_multi_schema(schema):
+def q_nkg_gold_compacted_conv(spark, sf_dir):
+    """G2 conv-level compaction (the literal document-scope run_re.py:2400
+    behavior: same-(rel,subj,obj) facts merge across a conversation's
+    turns) over the gold extraction — also SQL-reproducible."""
+    from text2nkg_spark.operators.facts import compacted_facts, fact_table
+
+    comp = compacted_facts(
+        fact_table(_gold_extract_preds(spark, sf_dir)), per="conv")
+    return comp.select(
+        "conv_id", "turn_idx", "fact_id", "rel", "subj", "obj",
+        F.col("N").cast("int").alias("N"), "canonical_json")
+
+
+def _q_multi_schema(schema, cap: int | None = None):
     """Gold-scored extraction for the event/role/hypergraph schemas over the
-    reference's own dev corpus (read-only data fixture; rows-only check —
-    exact oracle parity + >=0.95 gold recovery are pytest-asserted)."""
+    reference's FULL dev corpus (1000 docs; read-only data fixture;
+    rows-only check — exact oracle parity + >=0.95 gold recovery are
+    pytest-asserted).  ``cap`` optionally limits the doc count for quick
+    local runs; the driver-visible entries run uncapped."""
 
     def q(spark, sf_dir):
         import os
@@ -331,7 +346,9 @@ def _q_multi_schema(schema):
                 f"hyperred_{schema}/dev.json")
         if not os.path.exists(path):
             return spark.createDataFrame([], "doc_id long")
-        docs = with_line_numbers(read_reference_jsonl(spark, path)).limit(80)
+        docs = with_line_numbers(read_reference_jsonl(spark, path))
+        if cap is not None:
+            docs = docs.limit(cap)
         norm = normalize_reference_docs(docs, schema)
         labels = labels_from_normalized(norm, schema)
         return extract_facts_multi(
@@ -623,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_compacted": q_nkg_gold_compacted,
+        "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
         "nkg_compacted": q_nkg_compacted,
         "nkg_entities": q_nkg_entities,
         "nkg_event_extract": _q_multi_schema("event"),
@@ -813,6 +831,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx,
                    sha256(concat_ws(chr(1), conv_id,
                           CAST(turn_idx AS VARCHAR), rel,
+                          surfs[hi+1], surfs[ti+1])) AS fact_id,
+                   rel, surfs[hi+1] AS subj, surfs[ti+1] AS obj,
+                   CAST(3 AS INT) AS N,
+                   '{{"N": 3, "relation": "' || rel || '", "subject": "'
+                     || surfs[hi+1] || '", "object": "' || surfs[ti+1]
+                     || '", "' || qual || '": ["' || surfs[qi+1] || '"]}}'
+                     AS canonical_json
+            FROM b
+        """,
+        "nkg_gold_compacted_conv": f"""
+            WITH {_GOLD_CORPUS_CTE}
+            SELECT conv_id, CAST(-1 AS INT) AS turn_idx,
+                   sha256(concat_ws(chr(1), conv_id, rel,
                           surfs[hi+1], surfs[ti+1])) AS fact_id,
                    rel, surfs[hi+1] AS subj, surfs[ti+1] AS obj,
                    CAST(3 AS INT) AS N,

@@ -91,7 +91,8 @@ def compacted_facts(facts: DataFrame, per: str = "turn") -> DataFrame:
         # fact_id must also collapse across turns
         facts = facts.withColumn(
             "fact_id",
-            F.sha2(F.concat_ws("", "conv_id", "rel", "subj", "obj"), 256))
+            F.sha2(F.concat_ws(
+                "\x01", "conv_id", "rel", "subj", "obj"), 256))
     elif per != "turn":
         raise ValueError(per)
     quals = (
