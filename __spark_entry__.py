@@ -186,6 +186,24 @@ def q_nkg_gold_pipeline(spark, sf_dir):
         "correct_q long, num_q_ans long")
 
 
+def q_nkg_model_extract(spark, sf_dir):
+    """Packed levitated-marker model scoring (numpy mini encoder) through
+    the fused extraction path — one scorer per python worker, built lazily
+    inside the UDF.  Rows-only: encoder logits aren't SQL-expressible; the
+    marker/tensorization wiring is pytest-asserted against the reference's
+    arithmetic (tests/test_model_scorer.py)."""
+    from text2nkg_spark.config import PipelineConfig
+    from text2nkg_spark.operators.extraction import extract_facts_fused
+    from text2nkg_spark.plans.pipeline import (
+        default_label_space, prepare_sentences)
+
+    tr = _derived_transcripts(spark, sf_dir)
+    sents = prepare_sentences(tr, predicate=_dict_pred)
+    cfg = PipelineConfig(scorer="model", max_seq_length=128,
+                         max_pair_length=16)
+    return extract_facts_fused(sents, cfg, default_label_space())
+
+
 def q_nkg_compacted(spark, sf_dir):
     """Compacted n-ary facts (G2) over the hash-scored extraction."""
     from text2nkg_spark.operators.facts import compacted_facts, fact_table
@@ -641,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_compacted": q_nkg_gold_compacted,
         "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
+        "nkg_model_extract": q_nkg_model_extract,
         "nkg_compacted": q_nkg_compacted,
         "nkg_entities": q_nkg_entities,
         "nkg_event_extract": _q_multi_schema("event"),

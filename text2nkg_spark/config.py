@@ -52,6 +52,10 @@ class PipelineConfig:
     scorer: str = "hash"  # 'hash' | 'gold' | 'model'
     gold_weight: float = 12.0
     hash_seed: int = 42
+    # 'mini' = the deterministic numpy encoder (tests/this container);
+    # a path = HF checkpoint dir, loaded lazily per python worker (torch
+    # import happens only at weight-load time)
+    model_checkpoint: str = "mini"
 
     def __post_init__(self) -> None:
         if self.nary_schema not in ("hyperrelation", "event", "role", "hypergraph"):

@@ -58,6 +58,23 @@ def stable_doc_id(conv_id: str) -> int:
     return zlib.crc32(conv_id.encode("utf-8"))
 
 
+# one scorer per python worker (executor-local model load — never
+# broadcast weights through the driver); keyed by the config that shapes it
+_WORKER_SCORERS: dict = {}
+
+
+def _worker_model_scorer(cfg: PipelineConfig, space: LabelSpace):
+    from text2nkg_spark.operators.model_scorer import ModelScorer
+
+    key = (cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
+           space.num_classes)
+    if key not in _WORKER_SCORERS:
+        _WORKER_SCORERS[key] = ModelScorer(
+            cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
+            space.num_classes)
+    return _WORKER_SCORERS[key]
+
+
 def _sentence_logits(
     cfg: PipelineConfig,
     space: LabelSpace,
@@ -65,6 +82,8 @@ def _sentence_logits(
     sent_idx: int,
     cand: np.ndarray,
     gold_rels: list | None,
+    entities: np.ndarray | None = None,
+    tokens: list[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     triples = cand[:, 4:10]
     c = space.num_classes
@@ -75,10 +94,11 @@ def _sentence_logits(
     elif cfg.scorer == "hash":
         rel = hash_logits(doc_id, sent_idx, triples, c, cfg.hash_seed, 0)
         qul = hash_logits(doc_id, sent_idx, triples, c, cfg.hash_seed, 1)
+    elif cfg.scorer == "model":
+        scorer = _worker_model_scorer(cfg, space)
+        rel, qul = scorer.score_sentence(tokens or [], entities, cand)
     else:
-        raise NotImplementedError(
-            f"scorer '{cfg.scorer}' needs torch/transformers (not shipped); "
-            "use 'hash' or 'gold'")
+        raise NotImplementedError(f"unknown scorer '{cfg.scorer}'")
     if cfg.log_softmax:
         rel = log_softmax(rel)
         qul = log_softmax(qul)
@@ -193,8 +213,11 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                     rel_lg, q_lg = rel_all[lo:hi], q_all[lo:hi]
                 else:
                     gold = _gold_rel_tuples(gold_col[r]) if use_gold else None
+                    toks = ((text_col[r].split(" ") if flat
+                             else list(tokens_col[r]))
+                            if cfg.scorer == "model" else None)
                     rel_lg, q_lg = _sentence_logits(
-                        cfg, space, doc_id, turn_idx, cand, gold)
+                        cfg, space, doc_id, turn_idx, cand, gold, ents, toks)
                 preds = decode_sentence(
                     ents, cand, rel_lg, q_lg, space, cfg.same_entity)
                 if not preds:
@@ -289,8 +312,12 @@ def score_candidates(df, cfg: PipelineConfig, space: LabelSpace):
                     continue
                 doc_id = stable_doc_id(conv_id)
                 gold = _gold_rel_tuples(gold_col.iat[r]) if use_gold else None
+                toks = None
+                if cfg.scorer == "model":
+                    toks = (pdf["text"].iat[r].split(" ") if flat
+                            else list(pdf["tokens"].iat[r]))
                 rel_lg, q_lg = _sentence_logits(
-                    cfg, space, doc_id, turn_idx, cand, gold)
+                    cfg, space, doc_id, turn_idx, cand, gold, ents, toks)
                 f = pd.DataFrame(
                     cand,
                     columns=["cand_idx", "i", "j", "k", "m1s", "m1e", "m2s",

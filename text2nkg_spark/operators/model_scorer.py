@@ -1,29 +1,52 @@
-"""M1-M6 — the production model scorer (gated: torch/transformers are not
-shipped in this container; everything here import-fails gracefully and the
-deterministic scorers stand in for tests/benchmarks).
+"""M1-M6 — model-scorer wiring: subject markers, packed levitated markers,
+tensorization, and chunked batch shaping, exactly as the reference builds
+its model inputs (run_re.py:466-843) — implemented torch-free.
 
-Architecture notes for the real deployment (scale-relevant, judge-visible):
+Everything semantically load-bearing is pure numpy and unit-tested:
 
-* One ``ModelScorer`` instance per python worker, created lazily inside the
-  ``mapInPandas`` iterator (executor-local model load; weights distributed
-  via ``spark-submit --files`` or a shared filesystem — NOT broadcast, which
-  would serialize 400 MB through the driver).
-* Packed levitated markers (run_re.py:577-659; modeling_bert.py:2278-2334):
-  one BERT pass scores up to max_pair_length^2 = 1024 (object, qualifier)
-  candidates for one subject — the reference's central efficiency trick is
-  preserved as BATCH SHAPING inside the UDF, not as Spark topology.
-* Chunking: a subject's candidate list splits into ceil(n/1024) model
-  examples (run_re.py:563, 577-586); ``chunk_candidates`` reproduces it.
-* The two-stage pipeline (score_candidates -> decode_scores) with
-  ``split_dense_sentences`` is the intended host: model scoring dominates
-  wall-clock, so candidate scoring spreads over executors while the cheap
-  per-sentence decode regroups.
-* fp16 autocast on GPU executors (reference: apex O1, run_re.py:925-930).
+* ``insert_subject_markers``   — run_re.py:479-484 (solid [unused0/1]
+  markers around the subject; subject end shifts by 2).
+* ``marker_shifted_span``      — run_re.py:505-517 / 533-545 (object and
+  qualifier spans shift right past the inserted subject markers).
+* ``chunk_candidates``         — run_re.py:563, 577-586 (one model example
+  per max_pair_length^2 candidate block).
+* ``packed_candidate_batch``   — run_re.py:595-790 (__getitem__): pads
+  input ids with the marker blocks, builds the (S+2P, S+2P) block attention
+  mask where each levitated marker pair attends to itself + the text but
+  not to other pairs, and maps marker position_ids onto their span ends.
+  The packing shares sqrt(n) object marker pairs across the qualifier
+  grid — the reference's central efficiency trick (one BERT pass scores up
+  to max_pair_length^2 (object, qualifier) candidates for one subject).
+
+The actual encoder is pluggable: ``MiniEncoder`` is a deterministic numpy
+stand-in with BERT's interface contract (ids/mask/positions -> hidden
+states) used by tests and the ``scorer='model'`` pipeline path in this
+container; ``load_torch_encoder`` performs the gated import and only raises
+if torch/transformers are genuinely absent at WEIGHT-LOAD time.
+
+Spark integration (see operators/extraction.py): one ``ModelScorer`` per
+python worker, created lazily inside the mapInPandas iterator — executor-
+local model load; weights distributed via ``spark-submit --files`` or a
+shared filesystem, NOT broadcast (400 MB through the driver).  The
+two-stage pipeline (score_candidates -> decode_scores) with
+``split_dense_sentences`` spreads per-subject batches across executors and
+fp16 autocast applies on GPU executors (reference: apex O1,
+run_re.py:925-930).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
+
+# reference marker token ids for BERT vocab (run_re.py:608-610):
+# [unused0]=1, [unused1]=2 surround the subject; 3/4 are the levitated
+# object/qualifier marker blocks appended after the text
+SUB_L, SUB_R = "[unused0]", "[unused1]"
+MARKER_L_ID, MARKER_R_ID = 3, 4
+PAD_ID = 0
+CLS_ID, SEP_ID = 101, 102
 
 
 def chunk_candidates(n_candidates: int, max_pair_length: int = 32) -> list[tuple[int, int]]:
@@ -33,24 +56,264 @@ def chunk_candidates(n_candidates: int, max_pair_length: int = 32) -> list[tuple
             for lo in range(0, max(n_candidates, 1), step)]
 
 
-class ModelScorer:
-    """HF-checkpoint scorer for the two-stage pipeline (gated)."""
+def insert_subject_markers(
+    tokens: list[str], sub_s: int, sub_e: int
+) -> tuple[list[str], tuple[int, int]]:
+    """Solid subject markers (run_re.py:479-484).
 
-    def __init__(self, checkpoint_dir: str, max_seq_length: int = 256,
-                 max_pair_length: int = 32, fp16: bool = True):
-        try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "ModelScorer needs torch+transformers (not shipped here); "
-                "use scorer='hash' or scorer='gold'") from e
+    tokens: subword sequence INCLUDING the leading [CLS] analogue; (sub_s,
+    sub_e) inclusive subword span of the subject.  Returns the marked
+    sequence and the marker-shifted subject span (sub_s, sub_e + 2) — the
+    subject now spans [unused0] .. [unused1] inclusive.
+    """
+    marked = (tokens[:sub_s] + [SUB_L] + tokens[sub_s:sub_e + 1]
+              + [SUB_R] + tokens[sub_e + 1:])
+    return marked, (sub_s, sub_e + 2)
+
+
+def marker_shifted_span(
+    starts: np.ndarray, ends: np.ndarray, sub_s: int, sub_e: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(left, right) positions of spans after subject-marker insertion —
+    the reference arithmetic at run_re.py:505-517 (objects) and 533-545
+    (qualifiers), vectorized.
+
+    starts/ends are inclusive TOKEN spans; sub_s/sub_e the (unshifted)
+    subject token span.  left = start + 1 (+1 per subject marker at or
+    before it); right = end + 1 with the same shifts — matching
+    ``left = doc_entity_start - doc_offset + 1`` then the two
+    ``if obj[x] >= sub[0] / > sub[1]`` increments.
+    """
+    left = starts + 1
+    left = left + (starts >= sub_s).astype(np.int64)
+    left = left + (starts > sub_e).astype(np.int64)
+    right = ends + 1
+    right = right + (ends >= sub_s).astype(np.int64)
+    right = right + (ends > sub_e).astype(np.int64)
+    return left, right
+
+
+@dataclass
+class PackedBatch:
+    """One model example: every tensor the reference's __getitem__ emits
+    (run_re.py:790-801), as numpy."""
+
+    input_ids: np.ndarray       # (S + 2P,) int64
+    attention_mask: np.ndarray  # (S + 2P, S + 2P) int64 block mask
+    position_ids: np.ndarray    # (S + 2P,) int64
+    sub_position: np.ndarray    # (2,) int64
+    mention_pos: np.ndarray     # (P, P, 2) object marker spans per cell
+    q_mention_pos: np.ndarray   # (P, P, 2) qualifier spans per cell
+    n_rows: int                 # live object rows (sqrt of examples)
+
+
+def packed_candidate_batch(
+    token_ids: list[int],
+    sub_position: tuple[int, int],
+    obj_spans: np.ndarray,   # (R, 2) marker-shifted (left, right), row order
+    qual_spans: np.ndarray,  # (R, 2) same spans in qualifier order
+    max_seq_length: int,
+    max_pair_length: int,
+) -> PackedBatch:
+    """Shape one subject's candidate grid into the packed-marker tensors.
+
+    The R object rows each own ONE levitated marker pair (w1 = S + row,
+    w2 = S + P + row); the R qualifier columns reuse the same R pairs —
+    so R^2 (object, qualifier) candidates ride on 2R marker tokens
+    (run_re.py:636-657: position/attention are written only when
+    ``x_idx % sqrt(n) == 0``, i.e. once per object row).
+    """
+    s_len = max_seq_length
+    p = max_pair_length
+    r = obj_spans.shape[0]
+    assert r <= p, "chunk_candidates must bound rows at max_pair_length"
+
+    ids = np.full(s_len + 2 * p, PAD_ID, dtype=np.int64)
+    l = min(len(token_ids), s_len)
+    ids[:l] = np.asarray(token_ids[:l], dtype=np.int64)
+    # marker blocks (run_re.py:608-610): R left markers then pad, R right
+    ids[s_len:s_len + r] = MARKER_L_ID
+    ids[s_len + p:s_len + p + r] = MARKER_R_ID
+
+    att = np.zeros((s_len + 2 * p, s_len + 2 * p), dtype=np.int64)
+    att[:l, :l] = 1
+
+    pos = np.concatenate(
+        [np.arange(s_len, dtype=np.int64), np.zeros(2 * p, dtype=np.int64)])
+
+    for row in range(r):
+        w1 = s_len + row
+        w2 = s_len + p + row
+        pos[w1] = obj_spans[row, 0]
+        pos[w2] = obj_spans[row, 1]
+        # each marker pair sees itself and the text, nothing else
+        att[[w1, w1, w2, w2], [w1, w2, w1, w2]] = 1
+        att[w1, :l] = 1
+        att[w2, :l] = 1
+
+    mention = np.zeros((p, p, 2), dtype=np.int64)
+    q_mention = np.zeros((p, p, 2), dtype=np.int64)
+    mention[:r, :r, 0] = obj_spans[:, None, 0]
+    mention[:r, :r, 1] = obj_spans[:, None, 1]
+    q_mention[:r, :r, 0] = qual_spans[None, :, 0]
+    q_mention[:r, :r, 1] = qual_spans[None, :, 1]
+
+    return PackedBatch(
+        input_ids=ids, attention_mask=att, position_ids=pos,
+        sub_position=np.asarray(sub_position, dtype=np.int64),
+        mention_pos=mention, q_mention_pos=q_mention, n_rows=r)
+
+
+class MiniEncoder:
+    """Deterministic numpy stand-in with the encoder contract the scorer
+    needs: (input_ids, attention_mask, position_ids) -> (T, H) hidden
+    states.  One masked-mean mixing layer over splitmix64 embeddings —
+    NOT a language model, but it consumes every packed tensor (so a wiring
+    bug — wrong mask block, wrong marker position — changes the output and
+    fails the tests) and is cheap enough for UDF use in this container."""
+
+    def __init__(self, hidden: int = 16, num_classes: int = 11, seed: int = 7):
+        self.hidden = hidden
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def _embed(self, ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        from text2nkg_spark.scoring_core import splitmix64
+
+        h = np.arange(self.hidden, dtype=np.int64).astype(np.uint64)
+        key = splitmix64(
+            (ids.astype(np.uint64) * np.uint64(1_000_003))
+            ^ splitmix64(pos.astype(np.uint64) + np.uint64(self.seed)))
+        grid = splitmix64(key[:, None] ^ splitmix64(h)[None, :])
+        return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
+
+    def encode(self, ids: np.ndarray, att: np.ndarray,
+               pos: np.ndarray) -> np.ndarray:
+        x = self._embed(ids, pos)
+        w = att.astype(np.float32)
+        denom = np.maximum(w.sum(axis=1, keepdims=True), 1.0)
+        return x + (w @ x) / denom  # one masked-attention mixing layer
+
+    def pair_logits(self, h1: np.ndarray, h2: np.ndarray,
+                    hsub: np.ndarray) -> np.ndarray:
+        """(..., H) marker states + subject state -> (..., C) logits."""
+        from text2nkg_spark.scoring_core import splitmix64
+
+        c = np.arange(self.num_classes, dtype=np.int64).astype(np.uint64)
+        feats = (h1 * 3.0 + h2 * 5.0 + hsub * 7.0).sum(axis=-1)
+        key = splitmix64((feats * 1e6).astype(np.int64).astype(np.uint64))
+        grid = splitmix64(key[..., None] ^ splitmix64(c))
+        return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
+
+
+def load_torch_encoder(checkpoint_dir: str):
+    """Gated import — torch/transformers bind only at weight-load time."""
+    try:
+        import torch  # noqa: F401
+        import transformers
+    except ImportError as e:  # pragma: no cover - not shipped here
         raise NotImplementedError(
-            "model inference wiring lands with the runtime that ships "
-            "torch; the deterministic scorers define the full decode "
-            "semantics (SURVEY.md §7.1)")
+            "loading a real checkpoint needs torch+transformers (not "
+            "shipped in this container); pass checkpoint='mini' for the "
+            "deterministic numpy encoder") from e
+    return transformers.AutoModel.from_pretrained(  # pragma: no cover
+        checkpoint_dir)
+
+
+class ModelScorer:
+    """Per-subject packed-marker scoring with the reference's batch shapes.
+
+    ``score_sentence(tokens, entities, cand)`` returns (rel_logits,
+    q_logits) rows aligned with the candidate enumeration order, i.e. a
+    drop-in for the 'hash'/'gold' scorers in the extraction UDFs.
+    """
+
+    def __init__(self, checkpoint: str = "mini", max_seq_length: int = 256,
+                 max_pair_length: int = 32, num_classes: int = 11):
+        self.max_seq_length = max_seq_length
+        self.max_pair_length = max_pair_length
+        if checkpoint == "mini":
+            self.encoder = MiniEncoder(num_classes=num_classes)
+        else:
+            self.encoder = load_torch_encoder(checkpoint)
+
+    def _token_ids(self, tokens: list[str]) -> list[int]:
+        """Identity-vocab ids (stable per surface) with special tokens."""
+        import zlib
+
+        ids = []
+        for t in tokens:
+            if t == "[CLS]":
+                ids.append(CLS_ID)
+            elif t == SUB_L:
+                ids.append(1)
+            elif t == SUB_R:
+                ids.append(2)
+            else:
+                ids.append(zlib.crc32(t.encode("utf-8")) % 28000 + 1000)
+        ids.append(SEP_ID)
+        return ids
+
+    def _entity_groups(self, e: int) -> list[np.ndarray]:
+        """Entity-index groups whose pairwise UNIONS fit max_pair_length.
+
+        E <= P: one group, one packed batch per subject — the reference's
+        single-chunk case (E^2 <= max_pair_length^2, run_re.py:577).
+        E > P: groups of P//2; each (object-group, qualifier-group) pair is
+        scored in its own batch packing the union — the scale
+        generalization of the reference's dL chunk loop, bounded at P
+        marker pairs per model example for ANY entity count.
+        """
+        p = self.max_pair_length
+        if e <= p:
+            return [np.arange(e)]
+        half = max(p // 2, 1)
+        return [np.arange(g, min(g + half, e)) for g in range(0, e, half)]
 
     def score_sentence(
         self, tokens: list[str], entities: np.ndarray, cand: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:  # pragma: no cover
-        raise NotImplementedError
+    ) -> tuple[np.ndarray, np.ndarray]:
+        e = entities.shape[0]
+        n = cand.shape[0]
+        c = self.encoder.num_classes
+        rel = np.zeros((n, c), dtype=np.float32)
+        qul = np.zeros((n, c), dtype=np.float32)
+        s = self.max_seq_length
+        p = self.max_pair_length
+        groups = self._entity_groups(e)
+        group_of = np.zeros(e, dtype=np.int64)
+        for gi, g in enumerate(groups):
+            group_of[g] = gi
+        for i in np.unique(cand[:, 1]):
+            sel = np.nonzero(cand[:, 1] == i)[0]
+            jj, kk = cand[sel, 2], cand[sel, 3]
+            sub_s, sub_e = int(entities[i, 0]), int(entities[i, 1])
+            # +1 everywhere: [CLS] occupies position 0 (run_re.py:477
+            # ``token2subword[..] - doc_offset + 1``)
+            marked, sub_position = insert_subject_markers(
+                ["[CLS]"] + list(tokens), sub_s + 1, sub_e + 1)
+            ids = self._token_ids(marked)
+            left, right = marker_shifted_span(
+                entities[:, 0] + 1, entities[:, 1] + 1, sub_s + 1, sub_e + 1)
+            spans = np.column_stack([left, right])
+            # each candidate (j, k) scores in the batch packing
+            # union(group(j), group(k)) — one batch total when E <= P
+            batch_key = group_of[jj] * len(groups) + group_of[kk]
+            for bk in np.unique(batch_key):
+                bsel = np.nonzero(batch_key == bk)[0]
+                ga, gb = groups[int(bk) // len(groups)], groups[int(bk) % len(groups)]
+                union = np.union1d(ga, gb)
+                batch = packed_candidate_batch(
+                    ids, sub_position, spans[union], spans[union], s, p)
+                h = self.encoder.encode(
+                    batch.input_ids, batch.attention_mask,
+                    batch.position_ids)
+                hsub = h[batch.sub_position[0]]
+                ju = np.searchsorted(union, jj[bsel])
+                ku = np.searchsorted(union, kk[bsel])
+                h1 = h[s + ju]        # object left markers per candidate
+                h2 = h[s + p + ju]    # object right markers per candidate
+                hq = h[s + ku] + h[s + p + ku]
+                rel[sel[bsel]] = self.encoder.pair_logits(h1, h2, hsub)
+                qul[sel[bsel]] = self.encoder.pair_logits(hq, h2, hsub)
+        return rel, qul
