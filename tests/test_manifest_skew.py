@@ -110,3 +110,21 @@ def test_run_pipeline_end_to_end_and_resume(spark, tr, tmp_path_factory):
     assert man.read_meta("facts")["wall_s"] != walls["facts"]
     assert man.read_meta("predictions")["wall_s"] == walls["predictions"]
     assert out3["facts"].count() == n_facts
+
+
+def test_metrics_sink_table(spark, tr, tmp_path_factory):
+    """S6: run_pipeline writes a queryable long-format metrics table whose
+    rows_out values match the actual stage outputs."""
+    import os
+
+    from text2nkg_spark.plans.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("pipe_metrics"))
+    out = run_pipeline(spark, tr, root, PipelineConfig(scorer="hash"))
+    m = spark.read.parquet(os.path.join(root, "metrics"))
+    assert set(m.columns) == {"stage", "metric", "value"}
+    got = {(r.stage, r.metric): r.value for r in m.collect()}
+    assert got[("facts", "rows_out")] == out["facts"].count()
+    assert got[("entities", "rows_out")] == out["entities"].count()
+    assert got[("predictions", "n_partitions")] >= 1
+    assert all(got[(s, "wall_s")] >= 0 for s in ("sentences", "facts"))

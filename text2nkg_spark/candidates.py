@@ -33,6 +33,67 @@ def shifted_right(end: np.ndarray, sub_s: int, sub_e: int) -> np.ndarray:
     return right
 
 
+def token2subword_array(tokens: list[str], tokenizer) -> np.ndarray:
+    """Prefix-sum map word index -> first subword index (run_re.py:284-288):
+    t2s[i] = number of subwords before word i; t2s[len(tokens)] = total."""
+    out = np.zeros(len(tokens) + 1, dtype=np.int64)
+    acc = 0
+    for i, w in enumerate(tokens):
+        acc += len(tokenizer.tokenize_word(w))
+        out[i + 1] = acc
+    return out
+
+
+def enumerate_triples_subword(
+    entities: np.ndarray,  # (E, 2) int64 TOKEN spans, sentence order
+    max_seq_length: int,
+    t2s: np.ndarray,       # token2subword prefix sums (len = n_tokens + 1)
+) -> np.ndarray:
+    """General-tokenizer candidate enumeration: pruning bounds operate on
+    SUBWORD positions through the token2subword map while the marker-shift
+    increments stay token-level comparisons, exactly as the reference
+    (run_re.py:475-477, 490, 505-517, 533-545):
+
+    * subject kept iff ``t2s[sub_end+1] + 2 < max_seq_length - 1``
+      (sub_e = token2subword[sub[1]+1], then +2 markers, skip at >= max-1);
+    * object/qualifier kept iff its shifted right position
+      ``t2s[end+1] (+1 if end >= sub_start) (+1 if end > sub_end)``
+      stays under ``max_seq_length - 1``.
+
+    With the identity tokenizer (t2s[i] == i) this reduces bit-for-bit to
+    :func:`enumerate_triples` (tests assert).  Output format identical.
+    """
+    e = entities.shape[0]
+    if e == 0:
+        return np.empty((0, 10), dtype=np.int64)
+    starts = entities[:, 0]
+    ends = entities[:, 1]
+    end_sw = t2s[ends + 1]  # subword position just past each span
+
+    keep_sub = (end_sw + 2) < (max_seq_length - 1)
+    rows: list[np.ndarray] = []
+    for i in range(e):
+        if not keep_sub[i]:
+            continue
+        right = end_sw + (ends >= int(starts[i])).astype(np.int64) \
+            + (ends > int(ends[i])).astype(np.int64)
+        keep_oq = right < (max_seq_length - 1)
+        js = np.nonzero(keep_oq)[0]
+        if js.size == 0:
+            continue
+        jj = np.repeat(js, js.size)
+        kk = np.tile(js, js.size)
+        ii = np.full(jj.size, i, dtype=np.int64)
+        cand = (ii * e + jj) * e + kk
+        rows.append(np.column_stack(
+            [cand, ii, jj, kk,
+             starts[ii], ends[ii], starts[jj], ends[jj],
+             starts[kk], ends[kk]]))
+    if not rows:
+        return np.empty((0, 10), dtype=np.int64)
+    return np.concatenate(rows, axis=0)
+
+
 def enumerate_triples(
     entities: np.ndarray,  # (E, 2) int64 spans, sentence order
     max_seq_length: int,

@@ -41,6 +41,14 @@ class PipelineConfig:
     max_pair_length: int = 32
     same_entity: bool = False
     log_softmax: bool = True
+    # tokenizer for candidate-pruning arithmetic (run_re.py:490-491,
+    # 516-517): 'identity' (1 token == 1 subword) or 'wordpiece' (the
+    # deterministic FakeWordpieceTokenizer; swap in the HF adapter for a
+    # real vocab).  With 'wordpiece', long words consume extra subword
+    # budget and pruning can engage, so decode runs with strict=False
+    # (skip triples with a pruned ordering — the reference would assert).
+    tokenizer: str = "identity"
+    wordpiece_piece_len: int = 4
 
     # physical
     shuffle_partitions: int = 32

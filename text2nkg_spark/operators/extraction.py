@@ -63,6 +63,30 @@ def stable_doc_id(conv_id: str) -> int:
 _WORKER_SCORERS: dict = {}
 
 
+def _make_tokenizer(cfg: PipelineConfig):
+    from text2nkg_spark.tokenization import (
+        FakeWordpieceTokenizer, IdentityTokenizer)
+
+    if cfg.tokenizer == "wordpiece":
+        return FakeWordpieceTokenizer(cfg.wordpiece_piece_len)
+    if cfg.tokenizer == "identity":
+        return IdentityTokenizer()
+    raise ValueError(f"unknown tokenizer '{cfg.tokenizer}'")
+
+
+def _enumerate(cfg: PipelineConfig, ents: np.ndarray, tokens, tokenizer):
+    """Candidate enumeration under the configured tokenizer: identity uses
+    the vectorized full-grid path; wordpiece maps the pruning bounds
+    through token2subword prefix sums (run_re.py:490-491, 516-517)."""
+    if cfg.tokenizer == "identity":
+        return enumerate_triples(ents, cfg.max_seq_length)
+    from text2nkg_spark.candidates import (
+        enumerate_triples_subword, token2subword_array)
+
+    t2s = token2subword_array(list(tokens), tokenizer)
+    return enumerate_triples_subword(ents, cfg.max_seq_length, t2s)
+
+
 def _worker_model_scorer(cfg: PipelineConfig, space: LabelSpace):
     from text2nkg_spark.operators.model_scorer import ModelScorer
 
@@ -151,8 +175,11 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
     """
     use_gold = cfg.scorer == "gold"
     flat = "m_starts" in df.columns
+    identity = cfg.tokenizer == "identity"
+    strict = identity  # pruned orderings only exist under wordpiece
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenizer = _make_tokenizer(cfg)
         for pdf in batches:
             out: list[tuple] = []
             conv_ids = pdf["conv_id"].to_numpy()
@@ -176,7 +203,12 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                     ents = _mention_array(mentions_col[r])
                 if ents.shape[0] == 0:
                     continue
-                cand = enumerate_triples(ents, cfg.max_seq_length)
+                if identity:
+                    cand = enumerate_triples(ents, cfg.max_seq_length)
+                else:
+                    toks_r = (text_col[r].split(" ") if flat
+                              else list(tokens_col[r]))
+                    cand = _enumerate(cfg, ents, toks_r, tokenizer)
                 if cand.shape[0] == 0:
                     continue
                 sent.append((r, stable_doc_id(conv_ids[r]), ents, cand,
@@ -219,7 +251,8 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                     rel_lg, q_lg = _sentence_logits(
                         cfg, space, doc_id, turn_idx, cand, gold, ents, toks)
                 preds = decode_sentence(
-                    ents, cand, rel_lg, q_lg, space, cfg.same_entity)
+                    ents, cand, rel_lg, q_lg, space, cfg.same_entity,
+                    strict=strict)
                 if not preds:
                     continue
                 tokens = (text_col[r].split(" ") if flat
@@ -288,6 +321,7 @@ def score_candidates(df, cfg: PipelineConfig, space: LabelSpace):
     use_gold = cfg.scorer == "gold"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenizer = _make_tokenizer(cfg)
         for pdf in batches:
             frames: list[pd.DataFrame] = []
             flat = "m_starts" in pdf.columns
@@ -303,7 +337,12 @@ def score_candidates(df, cfg: PipelineConfig, space: LabelSpace):
                     ents = _mention_array(pdf["mentions"].iat[r])
                 if ents.shape[0] == 0:
                     continue
-                cand = enumerate_triples(ents, cfg.max_seq_length)
+                if cfg.tokenizer == "identity":
+                    cand = enumerate_triples(ents, cfg.max_seq_length)
+                else:
+                    toks_r = (pdf["text"].iat[r].split(" ") if flat
+                              else list(pdf["tokens"].iat[r]))
+                    cand = _enumerate(cfg, ents, toks_r, tokenizer)
                 if ranged:
                     lo = int(pdf["sub_lo"].iat[r])
                     hi = int(pdf["sub_hi"].iat[r])
@@ -366,7 +405,8 @@ def decode_scores(cand_df, cfg: PipelineConfig, space: LabelSpace):
         ents[cand[:, 2], 0] = cand[:, 6]
         ents[cand[:, 2], 1] = cand[:, 7]
         preds = decode_sentence(
-            ents, cand, rel_lg, q_lg, space, cfg.same_entity)
+            ents, cand, rel_lg, q_lg, space, cfg.same_entity,
+            strict=(cfg.tokenizer == "identity"))
         rows = [
             (conv_id, turn_idx, pi, *p[:8], p[8], p[9])
             for pi, p in enumerate(preds)

@@ -321,3 +321,28 @@ def compaction_exact_match(
         "correct_comp": match, "num_pred_comp": num_pred,
         "num_ans_comp": num_ans,
     }
+
+
+# ---------------------------------------------------------------------------
+# S6 — queryable metrics sink
+# ---------------------------------------------------------------------------
+
+METRICS_SCHEMA = "stage string, metric string, value double"
+
+
+def metrics_table(spark, stage_metrics: dict[str, dict[str, float]]):
+    """The metrics SINK as a queryable table: one row per (stage, metric).
+
+    The reference dumps eval numbers to a results json (run_re.py:2497-2505);
+    at pipeline scale the analogue is a long-format metrics table written
+    beside the data — row counts, wall times and partition counts per stage
+    (from the lineage manifests) plus the P/R/F1 block when a gold table is
+    supplied.  Long format keeps the schema stable as metrics are added.
+    """
+    rows = [
+        (stage, metric, float(value))
+        for stage, d in sorted(stage_metrics.items())
+        for metric, value in sorted(d.items())
+        if isinstance(value, (int, float))
+    ]
+    return spark.createDataFrame(rows, METRICS_SCHEMA)

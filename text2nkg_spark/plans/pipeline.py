@@ -168,9 +168,35 @@ def run_pipeline(
         spark, "facts_canonical", fp2,
         lambda: rekey_facts_to_entities(main, s2e.select("surface", "entity_id")))
 
+    # S6 — metrics sink: per-stage row counts / wall / partitions from the
+    # lineage manifests, plus eval P/R/F1 when gold is supplied; written as
+    # a queryable long-format parquet table beside the data
+    import os
+
+    from text2nkg_spark.operators.metrics import metrics_table
+
+    stage_metrics: dict[str, dict[str, float]] = {}
+    for st in ("sentences", "predictions", "facts", "main_triples",
+               "fact_qualifiers", "compacted", "surface_to_entity",
+               "entities", "facts_canonical"):
+        meta = man.read_meta(st)
+        if meta:
+            stage_metrics[st] = {
+                "rows_out": meta["rows_out"],
+                "wall_s": meta["wall_s"],
+                "n_partitions": len(meta["partitions"]),
+            }
+    if gold is not None:
+        from text2nkg_spark.operators.metrics import relation_qualifier_prf
+
+        stage_metrics["eval"] = relation_qualifier_prf(preds, gold)
+    mdf = metrics_table(spark, stage_metrics)
+    mdf.write.mode("overwrite").parquet(os.path.join(out_root, "metrics"))
+
     return {
         "sentences": sents, "predictions": preds, "facts": facts,
         "main_triples": main, "fact_qualifiers": quals,
         "compacted": comp, "entities": entities,
         "surface_to_entity": s2e, "facts_canonical": facts_canonical,
+        "metrics": mdf,
     }

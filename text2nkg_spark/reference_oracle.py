@@ -24,12 +24,16 @@ def decode_sentence(
     pair_dict: dict[tuple[Span, Span, Span], tuple[list[float], str, list[float], str]],
     space: LabelSpace,
     same_entity: bool = False,
+    strict: bool = True,
 ) -> list[tuple[Span, Span, str, Span, str]]:
     """Decode one sentence's ordered score dict into output_preds.
 
-    ``pair_dict`` must be insertion-ordered by candidate enumeration order and
-    contain all 6 orderings of every unordered span triple (the reference
-    asserts this: run_re.py:1328-1386).
+    ``pair_dict`` must be insertion-ordered by candidate enumeration order.
+    ``strict=True`` requires all 6 orderings of every unordered span triple
+    (the reference asserts this: run_re.py:1328-1386 — a KeyError here IS
+    that assert); ``strict=False`` marks the present orderings visited and
+    skips incomplete triples, mirroring decode_core's non-strict path for
+    subword-pruned candidate sets (where the reference would crash).
     Returns the reference's ``output_preds``: (m1, m2, rel_name, m3, qual_name)
     per surviving NMS item, duplicates included (run_re.py:1493).
     """
@@ -57,6 +61,16 @@ def decode_sentence(
         # permutation fetches, so only the base key is marked visited.
         if not same_entity:
             if m1 == m2 or m2 == m3 or m3 == m1:
+                continue
+
+        if not strict:
+            perms = ((m2, m1, m3), (m1, m3, m2), (m2, m3, m1),
+                     (m3, m1, m2), (m3, m2, m1))
+            ok = all(p in pair_dict for p in perms)
+            if not ok:
+                # mirror decode_core: every ordering is marked visited,
+                # the triple is skipped (no logits consumed)
+                visited.update(perms)
                 continue
 
         k213 = (m2, m1, m3)

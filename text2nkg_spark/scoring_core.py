@@ -126,6 +126,34 @@ def gold_orderings(
     return out
 
 
+def _lookup_gold_labels(
+    triples: np.ndarray,
+    gold_index: dict[tuple[int, int, int, int, int, int], tuple[int, int]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized dict.get over (N, 6) keys: sorted structured-array join
+    (sort the G gold keys once, one searchsorted per batch) — no per-row
+    Python.  Missing keys map to (0, 0) exactly like the reference's
+    ``q_pos2label.get(..., (0, 0))``."""
+    n = triples.shape[0]
+    rlab = np.zeros(n, dtype=np.int64)
+    qlab = np.zeros(n, dtype=np.int64)
+    if not gold_index:
+        return rlab, qlab
+    gk = np.asarray(list(gold_index.keys()), dtype=np.int64)
+    gv = np.asarray(list(gold_index.values()), dtype=np.int64)
+    dt = [("", np.int64)] * 6
+    gkv = np.ascontiguousarray(gk).view(dt).ravel()
+    tv = np.ascontiguousarray(triples.astype(np.int64)).view(dt).ravel()
+    order = np.argsort(gkv, kind="stable")
+    gkv = gkv[order]
+    idx = np.searchsorted(gkv, tv)
+    idx_c = np.minimum(idx, len(gkv) - 1)
+    hit = gkv[idx_c] == tv
+    rlab[hit] = gv[order[idx_c[hit]], 0]
+    qlab[hit] = gv[order[idx_c[hit]], 1]
+    return rlab, qlab
+
+
 def gold_logits(
     doc_id: int,
     sent_idx: int,
@@ -139,9 +167,8 @@ def gold_logits(
     rel = hash_logits(doc_id, sent_idx, triples, num_classes, seed, 0)
     qul = hash_logits(doc_id, sent_idx, triples, num_classes, seed, 1)
     w = np.float32(weight)
-    for i in range(triples.shape[0]):
-        key = tuple(int(v) for v in triples[i])
-        rlab, qlab = gold_index.get(key, (0, 0))
-        rel[i, rlab] += w
-        qul[i, qlab] += w
+    n = triples.shape[0]
+    rlab, qlab = _lookup_gold_labels(triples, gold_index)
+    rel[np.arange(n), rlab] += w
+    qul[np.arange(n), qlab] += w
     return rel, qul
