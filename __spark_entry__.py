@@ -58,6 +58,37 @@ transcripts AS (
 """
 
 
+# gaps-and-islands mention detection over the derived transcripts — the
+# DuckDB twin of operators.mentions (used by the mentions AND entities
+# oracles)
+_MENTIONS_CTE = f"""
+{_TRANSCRIPTS_CTE},
+tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(unnest(range(len(string_split(text,' ')))) AS INT) AS pos,
+         unnest(string_split(text,' ')) AS tk
+  FROM transcripts),
+mm AS (SELECT * FROM tok WHERE tk IN {_DICT_SQL}),
+ff AS (
+  SELECT conv_id, turn_idx, pos, tk,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 1
+              THEN 1 ELSE 0 END AS new_run
+  FROM mm
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)),
+gg AS (
+  SELECT *, sum(new_run) OVER
+         (PARTITION BY conv_id, turn_idx ORDER BY pos) AS run_id
+  FROM ff),
+mentions AS (
+  SELECT conv_id, turn_idx,
+         CAST(min(pos) AS INT) AS start,
+         CAST(max(pos) AS INT) AS "end",
+         string_agg(tk, ' ' ORDER BY pos) AS surface
+  FROM gg GROUP BY conv_id, turn_idx, run_id)
+"""
+
+
 # DuckDB twin of _gold_oracle_corpus: per doc_id, the three mention spans,
 # surfaces, the (h,t,q) permutation indices, and the labels
 _GOLD_CORPUS_CTE = f"""
@@ -769,6 +800,76 @@ def _simhash_oracle_sql(max_hamming: int = 6) -> str:
     """
 
 
+def _entities_oracle_sql(num_hashes: int = 12, bands: int = 6,
+                         seed: int = 42, jaccard: float = 0.6) -> str:
+    """DuckDB twin of operators.canonicalize.canonicalize_entities: char
+    3-gram shingles -> md5 minhash -> banded LSH pairs -> exact-Jaccard
+    verify -> connected components (recursive-CTE reachability; component
+    id = min md5_hash52 node id, exactly the Spark star-join/union-find
+    contract) -> per-entity aggregates."""
+    rows = num_hashes // bands
+    return f"""
+        WITH RECURSIVE {_MENTIONS_CTE},
+        surf AS (SELECT DISTINCT surface FROM mentions),
+        shg AS (
+          SELECT surface,
+                 list_distinct(list_filter(list_transform(
+                   range(0, greatest(length('^' || surface || '$') - 3, 0)
+                            + 1),
+                   i -> substr('^' || surface || '$', i + 1, 3)),
+                   x -> length(x) = 3)) AS sh
+          FROM surf),
+        shf AS (SELECT * FROM shg WHERE len(sh) > 0),
+        sig AS (
+          SELECT surface, sh,
+                 list_transform(range(0, {num_hashes}), h ->
+                   list_aggregate(list_transform(sh, s ->
+                     md5('{seed}|' || CAST(h AS VARCHAR) || '|' || s)),
+                     'min')) AS sg
+          FROM shf),
+        banded AS (
+          SELECT surface, sh, b.band_id,
+                 md5(array_to_string(
+                   sg[b.band_id * {rows} + 1 : b.band_id * {rows} + {rows}],
+                   ',')) AS band_hash
+          FROM sig, (SELECT unnest(range(0, {bands})) AS band_id) b),
+        cand AS (
+          SELECT DISTINCT l.surface AS sa, r.surface AS sb,
+                 l.sh AS sha, r.sh AS shb
+          FROM banded l JOIN banded r
+            ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+               AND l.surface < r.surface),
+        ver AS (
+          SELECT sa, sb FROM cand
+          WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+                / len(list_distinct(list_concat(sha, shb))) >= {jaccard}),
+        ids AS (SELECT surface, {_hex52_sql('surface')} AS sid FROM surf),
+        edges AS (
+          SELECT la.sid AS ea, lb.sid AS eb
+          FROM ver JOIN ids la ON ver.sa = la.surface
+                   JOIN ids lb ON ver.sb = lb.surface),
+        und AS (SELECT ea, eb FROM edges
+                UNION SELECT eb, ea FROM edges),
+        enodes AS (SELECT DISTINCT ea AS n FROM und),
+        reach(src, dst) AS (
+          SELECT n, n FROM enodes
+          UNION
+          SELECT r.src, e.eb FROM reach r JOIN und e ON r.dst = e.ea),
+        comp AS (SELECT src AS node, min(dst) AS component
+                 FROM reach GROUP BY src),
+        s2e AS (
+          SELECT ids.surface,
+                 COALESCE(comp.component, ids.sid) AS entity_id
+          FROM ids LEFT JOIN comp ON ids.sid = comp.node)
+        SELECT CAST(entity_id AS BIGINT) AS entity_id,
+               min(surface) AS canonical_surface,
+               CAST(count(DISTINCT surface) AS BIGINT) AS n_surfaces,
+               CAST(count(*) AS BIGINT) AS n_mentions
+        FROM mentions JOIN s2e USING (surface)
+        GROUP BY entity_id
+    """
+
+
 _STOP_EN = "['the','and','of','to','a','in','is','it','that','was']"
 _LANGS_SQL = """
   ('en', ['the','and','of','to','a','in','is','it','that','was']),
@@ -806,30 +907,10 @@ def oracle_sql() -> dict[str, str]:
               CAST((SELECT count(*) FROM transcripts) AS BIGINT) AS n_turns
         """,
         "nkg_mentions": f"""
-            WITH {_TRANSCRIPTS_CTE},
-            tok AS (
-              SELECT conv_id, turn_idx,
-                     CAST(unnest(range(len(string_split(text,' ')))) AS INT) AS pos,
-                     unnest(string_split(text,' ')) AS tk
-              FROM transcripts),
-            m AS (SELECT * FROM tok WHERE tk IN {_DICT_SQL}),
-            f AS (
-              SELECT conv_id, turn_idx, pos, tk,
-                     CASE WHEN lag(pos) OVER w IS NULL
-                               OR pos - lag(pos) OVER w > 1
-                          THEN 1 ELSE 0 END AS new_run
-              FROM m
-              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)),
-            g AS (
-              SELECT *, sum(new_run) OVER
-                     (PARTITION BY conv_id, turn_idx ORDER BY pos) AS run_id
-              FROM f)
-            SELECT conv_id, turn_idx,
-                   CAST(min(pos) AS INT) AS start,
-                   CAST(max(pos) AS INT) AS "end",
-                   string_agg(tk, ' ' ORDER BY pos) AS surface
-            FROM g GROUP BY conv_id, turn_idx, run_id
+            WITH {_MENTIONS_CTE}
+            SELECT conv_id, turn_idx, start, "end", surface FROM mentions
         """,
+        "nkg_entities": _entities_oracle_sql(),
         "nkg_gold_extract": f"""
             WITH {_GOLD_CORPUS_CTE}
             SELECT conv_id, turn_idx, CAST(0 AS INT) AS pred_idx,

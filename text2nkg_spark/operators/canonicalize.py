@@ -7,8 +7,9 @@ via MinHash-LSH candidate blocking and join-based connected components
 and Beyond"), then facts are re-keyed to canonical entity ids.
 
 Everything is native Spark SQL:
-* shingles/minhash — ``transform``/``aggregate`` HOFs over ``xxhash64``
-  (no UDF, no shuffle until the LSH groupBy);
+* shingles/minhash — ``transform``/``aggregate`` HOFs over ``md5`` (no UDF,
+  no shuffle until the LSH groupBy; md5-derived so the DuckDB oracle can
+  reproduce the candidate pairs, node ids and components bit-for-bit);
 * LSH banding — one groupBy per run over (band_id, band_hash);
 * components — alternating star iterations, each one self-join + groupBy,
   with ``localCheckpoint`` every few rounds to cut lineage.  Iteration count
@@ -36,12 +37,16 @@ def char_shingles(col, n: int = 3):
 
 
 def minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
-    """Array of ``num_hashes`` min-hashes via seeded xxhash64 (vectorized)."""
+    """Array of ``num_hashes`` min-hashes: lexicographic min of md5 hex
+    digests over seed/band-prefixed shingles — bit-reproducible in any
+    engine with md5."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
             F.transform(
-                shingles_col, lambda s: F.xxhash64(s, h + F.lit(seed)))),
+                shingles_col,
+                lambda s: F.md5(F.concat_ws(
+                    "|", F.lit(str(seed)), h.cast("string"), s)))),
     )
 
 
@@ -69,12 +74,10 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    )
-                ),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.slice(F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band), ",")),
             )
         ).alias("band_id", "band_hash"),
     )
@@ -217,8 +220,10 @@ def canonicalize_entities(
       * entities: (entity_id, canonical_surface, n_surfaces, n_mentions)
       * mention_to_entity: input columns + entity_id
     """
+    from text2nkg_spark.operators.similarity import md5_hash52
+
     distinct_surf = mention_surfaces_df.select("surface").distinct()
-    surf_ids = distinct_surf.withColumn("sid", F.xxhash64("surface"))
+    surf_ids = distinct_surf.withColumn("sid", md5_hash52(F.col("surface")))
 
     pairs = lsh_candidate_pairs(
         distinct_surf, "surface",
@@ -260,9 +265,10 @@ def rekey_facts_to_entities(
 
     Three broadcast-able joins against the (small relative to facts)
     surface->entity map; unmatched surfaces (mentions outside the detected
-    vocabulary) keep a deterministic xxhash64 fallback id so the graph stays
-    total.
+    vocabulary) keep a deterministic md5-derived fallback id so the graph
+    stays total.
     """
+    from text2nkg_spark.operators.similarity import md5_hash52
 
     def attach(df: DataFrame, col: str) -> DataFrame:
         m = surface_to_entity.select(
@@ -270,7 +276,7 @@ def rekey_facts_to_entities(
             F.col("entity_id").alias(f"{col}_entity_id"))
         return df.join(F.broadcast(m), col, "left").withColumn(
             f"{col}_entity_id",
-            F.coalesce(F.col(f"{col}_entity_id"), F.xxhash64(F.col(col))))
+            F.coalesce(F.col(f"{col}_entity_id"), md5_hash52(F.col(col))))
 
     out = facts
     for col in ("subj", "obj", "value"):
