@@ -191,24 +191,16 @@ def q_nkg_extract_facts(spark, sf_dir):
 
 
 def q_nkg_gold_pipeline(spark, sf_dir):
-    """Gold-scored extraction on synthesized transcripts + P/R counters
-    (rows-only; the >=0.95 parity bound is asserted in tests)."""
-    from text2nkg_spark.config import DataGenConfig, PipelineConfig
-    from text2nkg_spark.datagen import gen_gold_pdf, gen_transcripts_pdf
+    """A1-A4 metrics over the gold-scored oracle corpus: the full P/R
+    computation (distinct-key joins, recall denominators) must come out at
+    exactly 1.0 with exact counts — the SQL oracle states the expected
+    values.  (The imperfect-recall datagen corpus, where P/R < 1 by
+    construction, is pytest-asserted: tests/test_pipeline_e2e.py and the
+    reference dev-corpus parity suites.)"""
     from text2nkg_spark.operators.metrics import relation_qualifier_prf
-    from text2nkg_spark.plans.pipeline import (
-        build_label_space_from_gold, extract)
 
-    gen = DataGenConfig(n_convs=60, turns_per_conv=6, seed=13)
-    tr = spark.createDataFrame(gen_transcripts_pdf(gen))
-    gold = spark.createDataFrame(
-        gen_gold_pdf(gen),
-        schema="conv_id string, turn_idx int, "
-               "mentions array<struct<start:int,end:int>>, "
-               "relations array<struct<h_s:int,h_e:int,t_s:int,t_e:int,"
-               "rel:string,quals:array<struct<q_s:int,q_e:int,label:string>>>>")
-    cfg = PipelineConfig(scorer="gold")
-    preds = extract(tr, cfg, build_label_space_from_gold(gold), gold=gold)
+    _tr, gold = _gold_oracle_corpus(spark, sf_dir)
+    preds = _gold_extract_preds(spark, sf_dir)
     m = relation_qualifier_prf(preds, gold)
     return spark.createDataFrame(
         [(float(m["p"]), float(m["r"]), float(m["q_p"]), float(m["q_r"]),
@@ -911,6 +903,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, start, "end", surface FROM mentions
         """,
         "nkg_entities": _entities_oracle_sql(),
+        "nkg_gold_pipeline": """
+            SELECT 1.0 AS p, 1.0 AS r, 1.0 AS q_p, 1.0 AS q_r,
+                   CAST(count(*) AS BIGINT) AS correct_q,
+                   CAST(count(*) AS BIGINT) AS num_q_ans
+            FROM documents
+        """,
         "nkg_gold_extract": f"""
             WITH {_GOLD_CORPUS_CTE}
             SELECT conv_id, turn_idx, CAST(0 AS INT) AS pred_idx,

@@ -233,16 +233,17 @@ def simhash_fingerprints(
         F.col(id_col).alias("doc_id"), F.explode("_toks").alias("t"))
     h = tok.select("doc_id", md5_hash52(F.col("t")).alias("h"))
     one = F.lit(1).cast("long")
-    votes = h.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftrightunsigned("h", b).bitwiseAND(one) == 1,
-                   1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ])
+    # per-bit set-counts (plain sums keep the 52-agg groupBy inside
+    # whole-stage codegen); majority vote = 2*cnt > n
+    votes = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.shiftrightunsigned("h", b).bitwiseAND(one)).alias(f"c{b}")
+          for b in range(SIMHASH_BITS)],
+    )
     sh = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        term = F.when(F.col(f"c{b}") * 2 > F.col("_n"),
+                      F.lit(1 << b).cast("long")
                       ).otherwise(F.lit(0).cast("long"))
         sh = term if sh is None else sh + term
     return votes.select("doc_id", sh.alias("sh"))
@@ -302,20 +303,41 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     length_bucket: int = 64,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard within (block_cols, length-bucket) blocks."""
+    """Exact word-n-gram Jaccard within (block_cols, length-bucket) blocks.
+
+    Shingle arrays are built with the posexplode + window-lead + aggregate
+    shape (whole-stage codegen; the HOF formulation re-splits the text once
+    per shingle after CollapseProject inlining — measured ~10x slower at
+    sf0.1), so each doc's gram set is materialized exactly once before the
+    blocked self-join."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        (F.length(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    grams = tok.select(
+        "doc_id", *block_cols, "lb",
+        F.concat_ws(" ", *leads).alias("g"),
+        leads[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
     base = (
-        with_norm_tokens(df, text_col)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            *[F.col(c) for c in block_cols],
-            word_shingles_from_tokens(F.col("_toks"), n).alias("sh"),
-            (F.length(F.col(text_col)) / length_bucket).cast("int").alias("lb"))
+        grams.groupBy("doc_id", *block_cols, "lb")
+        .agg(F.array_distinct(F.collect_list("g")).alias("sh"))
         .where(F.size("sh") > 0)
     )
     keys = list(block_cols) + ["lb"]
     cond = (F.col("l.doc_id") < F.col("r.doc_id"))
     for c in keys:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    # exact size-ratio pruning: J(A,B) >= t implies t*|B| <= |A| and
+    # t*|A| <= |B| — a cheap int predicate evaluated before the expensive
+    # per-pair intersection, never changing the result set
+    cond = cond & (F.size(F.col("l.sh")) * threshold <= F.size(F.col("r.sh")))
+    cond = cond & (F.size(F.col("r.sh")) * threshold <= F.size(F.col("l.sh")))
     pairs = (
         base.alias("l").join(base.alias("r"), cond)
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
