@@ -83,11 +83,18 @@ def test_multi_decode_matches_oracle(schema, e, seed):
     assert got == want
 
 
+ACE = "/root/reference/datasets/hyperace05_processed_data"
+
+
+@pytest.mark.parametrize("corpus_root,prefix", [
+    (REF, "hyperred"), (ACE, "hyperace05")])
 @pytest.mark.parametrize("schema", ["event", "role", "hypergraph"])
-def test_multi_gold_recovery_on_reference_corpus(spark, schema):
-    """Gold-scored extraction over the reference's own dev corpus recovers
-    the annotated n-ary facts (relation + all argument spans) at P/R>=0.95."""
-    path = f"{REF}/hyperred_{schema}/dev.json"
+def test_multi_gold_recovery_on_reference_corpus(
+        spark, corpus_root, prefix, schema):
+    """Gold-scored extraction over the reference's own dev corpora
+    (HyperRED AND the ACE05 hyper-event conversion) recovers the annotated
+    n-ary facts (relation + all argument spans) at P/R>=0.95."""
+    path = f"{corpus_root}/{prefix}_{schema}/dev.json"
     if not os.path.exists(path):
         pytest.skip("missing reference corpus")
     from text2nkg_spark.operators.normalize import (

@@ -218,7 +218,12 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                 yield _empty_fact_frame()
                 continue
 
-            # phase 2 — score the whole batch in one vectorized pass
+            # phase 2 — score the whole batch vectorized, in cache-sized
+            # slices: every op is elementwise/row-wise so values are
+            # identical, but a ~32k-candidate working set (~5 MB) stays
+            # L2/L3-resident instead of streaming tens of MB through the
+            # shared memory bus per batch — measurably better multi-worker
+            # scaling on bandwidth-bound executors
             if cfg.scorer == "hash":
                 all_triples = np.concatenate([s[3][:, 4:10] for s in sent])
                 doc_arr = np.concatenate(
@@ -227,13 +232,23 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                     [np.full(s[5] - s[4], int(turn_idxs[s[0]]), dtype=np.int64)
                      for s in sent])
                 c = space.num_classes
-                rel_all = hash_logits_batch(
-                    doc_arr, sent_arr, all_triples, c, cfg.hash_seed, 0)
-                q_all = hash_logits_batch(
-                    doc_arr, sent_arr, all_triples, c, cfg.hash_seed, 1)
-                if cfg.log_softmax:
-                    rel_all = log_softmax(rel_all)
-                    q_all = log_softmax(q_all)
+                n_all = all_triples.shape[0]
+                rel_all = np.empty((n_all, c), dtype=np.float32)
+                q_all = np.empty((n_all, c), dtype=np.float32)
+                step = 32768
+                for lo_ in range(0, n_all, step):
+                    sl = slice(lo_, min(lo_ + step, n_all))
+                    r_ = hash_logits_batch(
+                        doc_arr[sl], sent_arr[sl], all_triples[sl], c,
+                        cfg.hash_seed, 0)
+                    q_ = hash_logits_batch(
+                        doc_arr[sl], sent_arr[sl], all_triples[sl], c,
+                        cfg.hash_seed, 1)
+                    if cfg.log_softmax:
+                        r_ = log_softmax(r_)
+                        q_ = log_softmax(q_)
+                    rel_all[sl] = r_
+                    q_all[sl] = q_
             else:
                 rel_all = q_all = None
 
