@@ -89,6 +89,30 @@ def test_embedding_near_dup_and_topk(spark, emb):
         assert vid == qid  # same-bucket self always found
 
 
+def test_lsh_multi_probe_recall(spark, emb):
+    """Multi-probe (flip one hyperplane) strictly widens the candidate set,
+    so recall@k vs exact brute force is monotone in the probe count and
+    materially above single-probe on this corpus."""
+    queries = emb.limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(m):
+        got = {(r.query_id, r.vec_id)
+               for r in lsh_topk(emb, queries, k=5, multi_probe=m).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r4, r8 = recall(0), recall(4), recall(8)
+    assert r0 <= r4 + 1e-9 and r4 <= r8 + 1e-9, (r0, r4, r8)
+    assert r8 >= r0 + 0.05, (r0, r8)  # probing genuinely adds recall here
+    # the query's own vector always survives (same bucket, cosine 1)
+    own = {(r.query_id, r.vec_id)
+           for r in lsh_topk(emb, queries, k=5, multi_probe=4).collect()
+           if r.rank == 1}
+    assert all(q == v for q, v in own)
+
+
 def test_topk_python_oracle(spark, emb):
     sub = emb.limit(100).cache()
     queries = sub.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")

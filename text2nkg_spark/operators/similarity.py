@@ -112,20 +112,38 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's hyperplane bucket."""
+    """Approximate top-k: rank only within the query's hyperplane bucket.
+
+    ``multi_probe=m`` additionally probes the m buckets at Hamming
+    distance 1 (one plane's sign flipped) — the standard recall lever at
+    large corpus sizes: a true neighbor lands in the same bucket with
+    P = (1 - theta/pi)^planes, and one flipped plane covers the most likely
+    miss.  Probing multiplies only the QUERY side by (1 + m) — the corpus
+    is hashed once — so the join stays bucket-bounded.
+    """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
         hyperplane_bucket(F.col(vec_col), planes, seed).alias("bucket"))
+    base_bucket = hyperplane_bucket(F.col(vec_col), planes, seed)
+    probes = F.array(
+        base_bucket,
+        *[base_bucket.bitwiseXOR(F.lit(1 << p).cast("long"))
+          for p in range(min(multi_probe, planes))])
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
-        hyperplane_bucket(F.col(vec_col), planes, seed).alias("bucket"))
+        F.explode(probes).alias("bucket"))
     scored = q.join(c, "bucket").select(
         "query_id", "vec_id",
         (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
+    if multi_probe > 0:
+        # a candidate can surface via several probes; one dedup shuffle,
+        # keyed the same as the ranking window that follows
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k)
