@@ -758,8 +758,9 @@ def _bucket_sql(vec: str, planes: int = 8, seed: int = 42) -> str:
         for p in range(planes))
 
 
-def _simhash_oracle_sql(max_hamming: int = 6) -> str:
-    """DuckDB twin of dedup.simhash_fingerprints + chunk-blocked pairs."""
+def _simhash_oracle_sql(max_hamming: int = 6, max_bucket: int = 4096) -> str:
+    """DuckDB twin of dedup.simhash_fingerprints + chunk-blocked pairs,
+    including the bucket-width cap (same key, same doc_id order)."""
     votes = ",\n                   ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(52))
@@ -778,9 +779,12 @@ def _simhash_oracle_sql(max_hamming: int = 6) -> str:
         v AS (SELECT doc_id, {votes}
               FROM h GROUP BY doc_id),
         s AS (SELECT doc_id, {sh} AS sh FROM v),
-        c AS (SELECT doc_id, sh, u.chunk_id,
-                     (sh >> (u.chunk_id * 13)) & 8191 AS chunk
-              FROM s, (SELECT unnest([0,1,2,3]) AS chunk_id) u),
+        c0 AS (SELECT doc_id, sh, u.chunk_id,
+                      (sh >> (u.chunk_id * 13)) & 8191 AS chunk
+               FROM s, (SELECT unnest([0,1,2,3]) AS chunk_id) u),
+        c AS (SELECT * FROM c0
+              QUALIFY row_number() OVER (PARTITION BY chunk_id, chunk
+                                         ORDER BY doc_id) <= {max_bucket}),
         pairs AS (
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                  l.sh AS sha, r.sh AS shb

@@ -183,19 +183,20 @@ def main() -> None:
         # all visits per core count, and EVERY visit is recorded in the
         # output so a single noisy window is visible rather than silently
         # deciding the efficiency number
-        # Three N->4N core pairs, visits interleaved in time so
-        # host-tenancy noise can't bias one side, best-of per size, and
-        # EVERY visit recorded so a noisy window is visible rather than
-        # silently deciding the efficiency number.  The 1->4 pair is the
-        # saturation-free software-scaling control: per-core rate on this
-        # box collapses identically beyond ~8 active cores across plain
-        # local[N], affinity-pinned, AND multi-JVM local-cluster
-        # topologies (measured), i.e. the shared memory bus — which a real
-        # 4x cluster multiplies with its nodes — not the plan.
+        # Two N->4N core pairs (4->16, 8->32; all visits under the same
+        # task_cpus=2 config so ratios are like-for-like), interleaved in
+        # time so host-tenancy noise can't bias one side, best-of per
+        # size, and EVERY visit recorded so a noisy window is visible
+        # rather than silently deciding the efficiency number.  Measured
+        # topology study: per-core rate on this box collapses identically
+        # beyond ~8 active cores across plain local[N], affinity-pinned,
+        # and multi-JVM local-cluster — the shared memory bus (which a
+        # real 4x cluster multiplies with its nodes), not the plan; the
+        # engine_core probe below is the saturation-free software control.
         best_t: dict[int, float] = {}
         visits: list[dict] = []
-        for cores in (1, 4, 16, 8, 32, 1, 4, 16, 8, 32, 4, 16, 8, 32):
-            s = _make_session(cores, task_cpus=2 if cores > 2 else 1)
+        for cores in (4, 16, 8, 32, 4, 16, 8, 32, 4, 16, 8, 32):
+            s = _make_session(cores, task_cpus=2)
             _warmup(s)  # python workers are per-session
             t0 = time.time()
             _extraction_job(s, tr_path)
@@ -210,18 +211,16 @@ def main() -> None:
             f"local{c}_turns_per_sec": round(r, 1) for c, r in rates.items()
         }
         scaling["visits"] = visits
-        pairs = {}
-        for lo, hi in ((1, 4), (4, 16), (8, 32)):
-            pairs[f"{lo}_to_{hi}"] = round(rates[hi] / rates[lo] / 4.0, 3)
+        for lo, hi in ((4, 16), (8, 32)):
+            scaling[f"efficiency_{lo}_to_{hi}"] = round(
+                rates[hi] / rates[lo] / 4.0, 3)
             a = [v["turns_per_sec"] for v in visits if v["cores"] == lo]
             b = [v["turns_per_sec"] for v in visits if v["cores"] == hi]
             scaling[f"round_efficiencies_{lo}_to_{hi}"] = [
                 round(y / x / 4.0, 3) for x, y in zip(a, b)]
-        scaling.update(
-            {f"efficiency_{k}": v for k, v in pairs.items()})
-        # headline gate value: the best-measured N->4N pair (components
-        # and every raw visit are in this JSON for scrutiny)
-        scaling["efficiency_n_to_4n"] = max(pairs.values())
+        # the gate value keeps a FIXED definition (the 4->16 pair, as in
+        # round 1) — the other pair and every raw visit are alongside
+        scaling["efficiency_n_to_4n"] = scaling["efficiency_4_to_16"]
         # engine-core scaling: the same per-sentence workload in isolated
         # worker processes (no shared JVM) — what a multi-executor cluster
         # sees, where each executor is its own JVM on its own host

@@ -128,3 +128,19 @@ def test_metrics_sink_table(spark, tr, tmp_path_factory):
     assert got[("entities", "rows_out")] == out["entities"].count()
     assert got[("predictions", "n_partitions")] >= 1
     assert all(got[(s, "wall_s")] >= 0 for s in ("sentences", "facts"))
+
+
+def test_resume_key_covers_semantic_config(spark, tr, tmp_path_factory):
+    """Changing a prediction-shaping config field (tokenizer) on the same
+    out_root must REBUILD the predictions stage, not serve stale parquet."""
+    from text2nkg_spark.plans.pipeline import run_pipeline
+
+    root = str(tmp_path_factory.mktemp("pipe_fp"))
+    run_pipeline(spark, tr, root, PipelineConfig(scorer="hash"))
+    man = StageManifest(root)
+    fp_before = man.read_meta("predictions")["input_fingerprint"]
+    run_pipeline(spark, tr, root,
+                 PipelineConfig(scorer="hash", tokenizer="wordpiece",
+                                max_seq_length=64))
+    fp_after = man.read_meta("predictions")["input_fingerprint"]
+    assert fp_before != fp_after

@@ -97,3 +97,25 @@ def test_rollup_oracle(spark):
     a = tc._rows_multiset(list(df.columns), sr)
     b = tc._rows_multiset([d[0] for d in res.description], res.fetchall())
     assert a == b
+
+
+def test_simhash_cap_mirrored_by_oracle(spark):
+    """When the bucket cap BINDS (30 identical docs, cap 10), Spark and the
+    DuckDB oracle truncate identically: C(10,2) pairs, same ids."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from text2nkg_spark.operators.dedup import simhash_pairs
+
+    df = spark.range(30).selectExpr(
+        "id AS doc_id", "'identical text for the cap probe here' AS text")
+    got = sorted((r.a, r.b, r.hamming)
+                 for r in simhash_pairs(df, max_hamming=6,
+                                        max_bucket=10).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT range AS doc_id, "
+        "'identical text for the cap probe here' AS text FROM range(30)")
+    want = sorted(con.execute(
+        em._simhash_oracle_sql(max_hamming=6, max_bucket=10)).fetchall())
+    assert got == want and len(got) == 10 * 9 // 2

@@ -95,6 +95,37 @@ def md5_minhash_signature(shingles_col, num_hashes: int):
     )
 
 
+def exploded_word_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: tuple = (),  # of (alias, Column) pairs carried through
+) -> DataFrame:
+    """(doc_id, *extra_cols, gram) — one row per word n-gram position.
+
+    The whole-stage-codegen n-gram shape shared by minhash signatures and
+    exact n-gram Jaccard: posexplode tokens + window-lead columns + null
+    tail filter.  The HOF formulation is 15-30x slower because (a) HOF
+    lambdas evaluate interpreted and (b) Catalyst's CollapseProject
+    re-inlines the tokenization expression into EVERY element_at lookup,
+    re-splitting the text once per shingle position.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[expr.alias(name) for name, expr in extra_cols],
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    return tok.select(
+        "doc_id", *[name for name, _e in extra_cols],
+        F.concat_ws(" ", *leads).alias("gram"),
+        leads[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull()).drop("_last")
+
+
 def md5_minhash_signatures_exploded(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -102,14 +133,10 @@ def md5_minhash_signatures_exploded(
     shingle_n: int = 3,
     num_hashes: int = 2,
 ) -> DataFrame:
-    """Same signatures as :func:`md5_minhash_signature` via posexplode +
-    window-lead n-grams + hash-aggregate — fully whole-stage-codegen.
-
-    Two reasons this beats the HOF formulation by 15-30x: (a) HOF lambdas
-    evaluate interpreted, and (b) Catalyst's CollapseProject re-inlines the
-    tokenization expression into EVERY element_at lookup, re-splitting the
-    text once per shingle position.  Shingle duplicates don't affect min
-    aggregation, so signatures are identical to the array_distinct variant.
+    """Same signatures as :func:`md5_minhash_signature` via the exploded
+    n-gram shape (see exploded_word_ngrams).  Shingle duplicates don't
+    affect min aggregation, so signatures are identical to the
+    array_distinct variant.
 
     Scale note: the window shuffles by doc_id (token-count rows); the
     combiner-style min aggregation reduces each partition to
@@ -117,20 +144,9 @@ def md5_minhash_signatures_exploded(
 
     Output: (doc_id, sig0..sig{n-1}).
     """
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "t"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, shingle_n)]
-    grams = tok.select(
-        "doc_id",
-        F.concat_ws(" ", *leads).alias("s"),
-        leads[-1].alias("_last"),
-    ).where(F.col("_last").isNotNull())
+    grams = exploded_word_ngrams(df, id_col, text_col, shingle_n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"sig{h}")
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("gram")))).alias(f"sig{h}")
         for h in range(num_hashes)
     ]
     return grams.groupBy("doc_id").agg(*aggs)
@@ -257,8 +273,10 @@ def simhash_pairs(
     max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 13-bit chunks
-    (pigeonhole guarantees recall for Hamming <= 3), verified by exact
-    Hamming distance via bit_count."""
+    (pigeonhole guarantees recall for Hamming <= 3 WITHIN buckets below the
+    max_bucket cap — a wider chunk bucket is truncated, see
+    cap_bucket_width), verified by exact Hamming distance via bit_count.
+    The DuckDB oracle mirrors the cap with an identically-keyed QUALIFY."""
     base = simhash_fingerprints(df, id_col, text_col)
     width = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << width) - 1
@@ -305,28 +323,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard within (block_cols, length-bucket) blocks.
 
-    Shingle arrays are built with the posexplode + window-lead + aggregate
-    shape (whole-stage codegen; the HOF formulation re-splits the text once
-    per shingle after CollapseProject inlining — measured ~10x slower at
-    sf0.1), so each doc's gram set is materialized exactly once before the
-    blocked self-join."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
-        (F.length(F.col(text_col)) / length_bucket).cast("int").alias("lb"),
-        F.posexplode(
-            F.split(normalize_text(F.col(text_col)), " ")).alias("pos", "t"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
-    grams = tok.select(
-        "doc_id", *block_cols, "lb",
-        F.concat_ws(" ", *leads).alias("g"),
-        leads[-1].alias("_last"),
-    ).where(F.col("_last").isNotNull())
+    Shingle arrays are built with the shared exploded n-gram shape
+    (exploded_word_ngrams — whole-stage codegen; the HOF formulation
+    re-splits the text once per shingle after CollapseProject inlining,
+    measured ~3x slower at sf0.1), so each doc's gram set is materialized
+    exactly once before the blocked self-join."""
+    extra = tuple((c, F.col(c)) for c in block_cols) + (
+        ("lb", (F.length(F.col(text_col)) / length_bucket).cast("int")),)
+    grams = exploded_word_ngrams(df, id_col, text_col, n, extra)
     base = (
         grams.groupBy("doc_id", *block_cols, "lb")
-        .agg(F.array_distinct(F.collect_list("g")).alias("sh"))
+        .agg(F.array_distinct(F.collect_list("gram")).alias("sh"))
         .where(F.size("sh") > 0)
     )
     keys = list(block_cols) + ["lb"]

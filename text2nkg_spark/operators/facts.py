@@ -33,7 +33,7 @@ def fact_table(preds: DataFrame) -> DataFrame:
         "fact_id",
         F.sha2(
             F.concat_ws(
-                "", "conv_id", "turn_idx", "rel", "subj", "obj"), 256),
+                "\x01", "conv_id", "turn_idx", "rel", "subj", "obj"), 256),
     )
 
 

@@ -107,6 +107,10 @@ def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:  # reshape(0, d, -1) cannot infer -1
+                yield pd.DataFrame(
+                    columns=["media_id", "kind", "feature", "feat_dim"])
+                continue
             raw = _decode_batch([bytes(p) for p in pdf["payload"]])
             # (B, feat_dim): mean over contiguous byte groups, scaled
             pooled = raw.astype(np.float64).reshape(
