@@ -800,9 +800,10 @@ def _entities_oracle_sql(num_hashes: int = 12, bands: int = 6,
                          seed: int = 42, jaccard: float = 0.6) -> str:
     """DuckDB twin of operators.canonicalize.canonicalize_entities: char
     3-gram shingles -> md5 minhash -> banded LSH pairs -> exact-Jaccard
-    verify -> connected components (recursive-CTE reachability; component
-    id = min md5_hash52 node id, exactly the Spark star-join/union-find
-    contract) -> per-entity aggregates."""
+    verify -> connected components (recursive-CTE reachability over the
+    surface STRINGS themselves; component id = lexicographically-min
+    surface, exactly the Spark star-join/union-find contract) ->
+    per-entity aggregates."""
     rows = num_hashes // bands
     return f"""
         WITH RECURSIVE {_MENTIONS_CTE},
@@ -839,13 +840,8 @@ def _entities_oracle_sql(num_hashes: int = 12, bands: int = 6,
           SELECT sa, sb FROM cand
           WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
                 / len(list_distinct(list_concat(sha, shb))) >= {jaccard}),
-        ids AS (SELECT surface, {_hex52_sql('surface')} AS sid FROM surf),
-        edges AS (
-          SELECT la.sid AS ea, lb.sid AS eb
-          FROM ver JOIN ids la ON ver.sa = la.surface
-                   JOIN ids lb ON ver.sb = lb.surface),
-        und AS (SELECT ea, eb FROM edges
-                UNION SELECT eb, ea FROM edges),
+        und AS (SELECT sa AS ea, sb AS eb FROM ver
+                UNION SELECT sb, sa FROM ver),
         enodes AS (SELECT DISTINCT ea AS n FROM und),
         reach(src, dst) AS (
           SELECT n, n FROM enodes
@@ -854,10 +850,10 @@ def _entities_oracle_sql(num_hashes: int = 12, bands: int = 6,
         comp AS (SELECT src AS node, min(dst) AS component
                  FROM reach GROUP BY src),
         s2e AS (
-          SELECT ids.surface,
-                 COALESCE(comp.component, ids.sid) AS entity_id
-          FROM ids LEFT JOIN comp ON ids.sid = comp.node)
-        SELECT CAST(entity_id AS BIGINT) AS entity_id,
+          SELECT surf.surface,
+                 COALESCE(comp.component, surf.surface) AS entity_id
+          FROM surf LEFT JOIN comp ON surf.surface = comp.node)
+        SELECT entity_id,
                min(surface) AS canonical_surface,
                CAST(count(DISTINCT surface) AS BIGINT) AS n_surfaces,
                CAST(count(*) AS BIGINT) AS n_mentions

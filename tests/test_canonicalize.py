@@ -100,9 +100,10 @@ def test_rekey_facts_to_entities(spark):
         "conv_id string, turn_idx int, rel string, subj string, "
         "obj string, value string")
     s2e = spark.createDataFrame(
-        [("ent1a ent1b", 101), ("ent2a", 102)],
-        "surface string, entity_id long")
+        [("ent1a ent1b", "canon1"), ("ent2a", "canon2")],
+        "surface string, entity_id string")
     out = rekey_facts_to_entities(facts, s2e).collect()[0]
-    assert out.subj_entity_id == 101
-    assert out.obj_entity_id == 102
-    assert out.value_entity_id is not None  # deterministic fallback
+    assert out.subj_entity_id == "canon1"
+    assert out.obj_entity_id == "canon2"
+    # unmapped surface falls back to itself — total and collision-free
+    assert out.value_entity_id == "ent3a"

@@ -153,3 +153,37 @@ def test_model_scored_pipeline_end_to_end(spark):
     a = sorted(tuple(r[c] for c in key_cols) for r in rows)
     b = sorted(tuple(r[c] for c in key_cols) for r in two_stage.collect())
     assert a == b
+
+
+def test_score_sentence_marker_positions_absolute():
+    """End-to-end position check against a hand trace of the reference
+    (run_re.py:477, 505-517): tokens [a,b,c], subject (0,0) -> marked
+    sequence [CLS][u0] a [u1] b c; object (1,1)'s marker positions must be
+    (4,4) = token 'b', NOT (5,5) = 'c' (the double-[CLS] off-by-one)."""
+    captured = []
+
+    class SpyEncoder(MiniEncoder):
+        def encode(self, ids, att, pos):
+            captured.append((ids.copy(), pos.copy()))
+            return super().encode(ids, att, pos)
+
+    s_len, p = 32, 8
+    sc = ModelScorer("mini", max_seq_length=s_len, max_pair_length=p,
+                     num_classes=5)
+    sc.encoder = SpyEncoder(num_classes=5)
+    ents = np.array([[0, 0], [1, 1], [2, 2]])
+    cand = enumerate_triples(ents, s_len)
+    sc.score_sentence(["a", "b", "c"], ents, cand)
+
+    # subject 0's batch is captured first; row order = entity order
+    ids, pos = captured[0]
+    import zlib
+    # marked: [CLS] [u0] a [u1] b c [SEP]
+    assert list(ids[:7]) == [
+        101, 1, zlib.crc32(b"a") % 28000 + 1000, 2,
+        zlib.crc32(b"b") % 28000 + 1000, zlib.crc32(b"c") % 28000 + 1000,
+        102]
+    # entity 0 (the subject, spans via the same shift): (2, 2)... entity 1
+    # ('b') must anchor at 4, entity 2 ('c') at 5
+    assert pos[s_len + 1] == 4 and pos[s_len + p + 1] == 4
+    assert pos[s_len + 2] == 5 and pos[s_len + p + 2] == 5

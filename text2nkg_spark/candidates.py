@@ -115,10 +115,10 @@ def enumerate_triples(
 
     # fast path — nothing pruned (the overwhelmingly common case): the
     # full E^3 cross product in one vectorized shot, already in
-    # (i, j, k)-lexicographic enumeration order
-    if bool(keep_sub.all()) and bool(
-        ((ends + 3) < (max_seq_length - 1)).all()
-    ):
+    # (i, j, k)-lexicographic enumeration order.  keep_sub.all() also
+    # implies no object/qualifier pruning: a span's marker-shifted right
+    # position is at most end + 3, the same bound.
+    if bool(keep_sub.all()):
         idx = np.arange(e, dtype=np.int64)
         ii = np.repeat(idx, e * e)
         jj = np.tile(np.repeat(idx, e), e)
@@ -128,28 +128,7 @@ def enumerate_triples(
             [cand, ii, jj, kk,
              starts[ii], ends[ii], starts[jj], ends[jj], starts[kk], ends[kk]])
 
-    rows: list[np.ndarray] = []
-    for i in range(e):
-        if not keep_sub[i]:
-            continue
-        right = shifted_right(ends, int(starts[i]), int(ends[i]))
-        keep_oq = right < (max_seq_length - 1)
-        js = np.nonzero(keep_oq)[0]
-        if js.size == 0:
-            continue
-        # object x qualifier cross product, both restricted to keep_oq,
-        # in entity-list order (run_re.py:493, 521)
-        jj = np.repeat(js, js.size)
-        kk = np.tile(js, js.size)
-        ii = np.full(jj.size, i, dtype=np.int64)
-        cand = (ii * e + jj) * e + kk
-        block = np.column_stack(
-            [cand, ii, jj, kk,
-             starts[jj - jj + i], ends[jj - jj + i],  # m1 = subject span
-             starts[jj], ends[jj],
-             starts[kk], ends[kk]]
-        )
-        rows.append(block)
-    if not rows:
-        return np.empty((0, 10), dtype=np.int64)
-    return np.concatenate(rows, axis=0)
+    # pruned case == the general-tokenizer enumeration under the identity
+    # map (t2s[i] == i); one implementation, tests assert the reduction
+    t2s = np.arange(int(ends.max()) + 2, dtype=np.int64)
+    return enumerate_triples_subword(entities, max_seq_length, t2s)

@@ -68,6 +68,10 @@ class PipelineConfig:
     def __post_init__(self) -> None:
         if self.nary_schema not in ("hyperrelation", "event", "role", "hypergraph"):
             raise ValueError(f"unknown nary_schema: {self.nary_schema}")
+        if self.tokenizer not in ("identity", "wordpiece"):
+            raise ValueError(f"unknown tokenizer: {self.tokenizer}")
+        if self.scorer not in ("hash", "gold", "model"):
+            raise ValueError(f"unknown scorer: {self.scorer}")
 
 
 @dataclass(frozen=True)

@@ -9,7 +9,10 @@ and Beyond"), then facts are re-keyed to canonical entity ids.
 Everything is native Spark SQL:
 * shingles/minhash — ``transform``/``aggregate`` HOFs over ``md5`` (no UDF,
   no shuffle until the LSH groupBy; md5-derived so the DuckDB oracle can
-  reproduce the candidate pairs, node ids and components bit-for-bit);
+  reproduce the candidate pairs and components bit-for-bit).  Node ids are
+  the surface strings themselves (component = lexicographic min): any
+  fixed-width hash id would silently merge unrelated surfaces near its
+  birthday bound (2^26 rows for 52-bit, 2^32 for 64-bit);
 * LSH banding — one groupBy per run over (band_id, band_hash);
 * components — alternating star iterations, each one self-join + groupBy,
   with ``localCheckpoint`` every few rounds to cut lineage.  Iteration count
@@ -58,10 +61,14 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.6,
     seed: int = 42,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-duplicate surface pairs (a < b) verified by true Jaccard.
 
     surfaces: distinct strings, one per row.  Returns (a, b, jaccard).
+    Degenerate band buckets are truncated at ``max_bucket`` rows (surface
+    order) — one boilerplate bucket must not become an unsplittable
+    O(W^2) join task (see dedup.cap_bucket_width).
     """
     rows_per_band = num_hashes // bands
     sh = surfaces.select(
@@ -81,6 +88,9 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    from text2nkg_spark.operators.dedup import cap_bucket_width
+
+    banded = cap_bucket_width(banded, ["band_id", "band_hash"], "s", max_bucket)
     pairs = (
         banded.alias("l")
         .join(
@@ -103,7 +113,7 @@ def lsh_candidate_pairs(
     return verified.select("a", "b", "jaccard")
 
 
-def _local_components(edge_rows: list, spark) -> DataFrame:
+def _local_components(edge_rows: list, spark, node_type: str) -> DataFrame:
     """Driver-side union-find for small edge sets (exact same contract)."""
     parent: dict = {}
 
@@ -123,11 +133,11 @@ def _local_components(edge_rows: list, spark) -> DataFrame:
     for x in parent:
         comp.setdefault(find(x), []).append(x)
     rows = [
-        (int(x), int(min(members)))
+        (x, min(members))
         for _r, members in comp.items() for x in members
     ]
-    return spark.createDataFrame(rows or [(0, 0)][:0],
-                                 "node long, component long")
+    return spark.createDataFrame(
+        rows or [], f"node {node_type}, component {node_type}")
 
 
 def connected_components(
@@ -137,9 +147,10 @@ def connected_components(
 ) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
-    edges: (src: long, dst: long) undirected.  Returns (node, component)
-    where component is the minimum node id of the component.  Nodes absent
-    from ``edges`` are their own components (callers union singletons).
+    edges: (src, dst) undirected — long OR string node ids (min/greatest
+    are ordering-generic).  Returns (node, component) where component is
+    the minimum node id of the component.  Nodes absent from ``edges`` are
+    their own components (callers union singletons).
 
     Size-adaptive: below ``local_threshold`` edges the graph collects to the
     driver for an exact union-find — each distributed star round costs
@@ -147,11 +158,12 @@ def connected_components(
     7s for 146 nodes).  Above it, the O(log n)-round join algorithm runs;
     set local_threshold=0 to force the distributed path.
     """
+    node_type = dict(edges.dtypes)["src"]
     if local_threshold > 0:
         small = edges.limit(local_threshold + 1).collect()
         if len(small) <= local_threshold:
-            rows = [(int(r[0]), int(r[1])) for r in small if r[0] != r[1]]
-            return _local_components(rows, edges.sparkSession)
+            rows = [(r[0], r[1]) for r in small if r[0] != r[1]]
+            return _local_components(rows, edges.sparkSession, node_type)
 
     def large_star(e: DataFrame) -> DataFrame:
         und = e.select("src", "dst").union(
@@ -220,28 +232,25 @@ def canonicalize_entities(
       * entities: (entity_id, canonical_surface, n_surfaces, n_mentions)
       * mention_to_entity: input columns + entity_id
     """
-    from text2nkg_spark.operators.similarity import md5_hash52
-
+    # node id = the surface STRING itself — collision-free at any scale
+    # (any fixed-width hash id silently merges unrelated surfaces once the
+    # corpus approaches its birthday bound); component id = the
+    # lexicographically-min surface, so entity_id doubles as a canonical
+    # key and the DuckDB oracle reproduces it with plain string mins
     distinct_surf = mention_surfaces_df.select("surface").distinct()
-    surf_ids = distinct_surf.withColumn("sid", md5_hash52(F.col("surface")))
 
     pairs = lsh_candidate_pairs(
         distinct_surf, "surface",
         num_hashes=num_hashes, bands=bands,
         jaccard_threshold=jaccard_threshold)
-    edges = (
-        pairs.join(surf_ids.withColumnRenamed("surface", "a")
-                   .withColumnRenamed("sid", "src"), "a")
-        .join(surf_ids.withColumnRenamed("surface", "b")
-              .withColumnRenamed("sid", "dst"), "b")
-        .select("src", "dst")
-    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comp = connected_components(edges)
     surf_comp = (
-        surf_ids.join(comp, surf_ids["sid"] == comp["node"], "left")
+        distinct_surf.join(
+            comp, distinct_surf["surface"] == comp["node"], "left")
         .select(
             "surface",
-            F.coalesce("component", "sid").alias("entity_id"),
+            F.coalesce("component", "surface").alias("entity_id"),
         )
     )
     m2e = mention_surfaces_df.join(surf_comp, "surface")
@@ -265,10 +274,9 @@ def rekey_facts_to_entities(
 
     Three broadcast-able joins against the (small relative to facts)
     surface->entity map; unmatched surfaces (mentions outside the detected
-    vocabulary) keep a deterministic md5-derived fallback id so the graph
-    stays total.
+    vocabulary) fall back to their own surface as the entity id, so the
+    graph stays total and collision-free.
     """
-    from text2nkg_spark.operators.similarity import md5_hash52
 
     def attach(df: DataFrame, col: str) -> DataFrame:
         m = surface_to_entity.select(
@@ -276,7 +284,7 @@ def rekey_facts_to_entities(
             F.col("entity_id").alias(f"{col}_entity_id"))
         return df.join(F.broadcast(m), col, "left").withColumn(
             f"{col}_entity_id",
-            F.coalesce(F.col(f"{col}_entity_id"), md5_hash52(F.col(col))))
+            F.coalesce(F.col(f"{col}_entity_id"), F.col(col)))
 
     out = facts
     for col in ("subj", "obj", "value"):

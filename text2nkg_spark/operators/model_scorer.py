@@ -206,18 +206,71 @@ class MiniEncoder:
         return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
 
 
-def load_torch_encoder(checkpoint_dir: str):
-    """Gated import — torch/transformers bind only at weight-load time."""
+class TorchEncoderAdapter:  # pragma: no cover — torch not shipped here
+    """Encoder-contract adapter (encode / pair_logits / num_classes) over a
+    HF checkpoint, so ``ModelScorer`` can swap the MiniEncoder for real
+    weights without touching the packed-marker wiring.
+
+    * ``encode`` runs one transformer pass with the packed SQUARE attention
+      mask — HF's ``get_extended_attention_mask`` accepts a (B, T, T)
+      mask, which is exactly what carries the levitated-marker visibility
+      blocks — and the explicit position_ids mapping markers to span ends.
+    * ``pair_logits`` applies linear n-ary heads loaded from
+      ``nary_heads.npz`` (keys ``w``: (3H, C), ``b``: (C,)) in the
+      checkpoint dir.  The reference's fine-tuned heads live inside its
+      custom BertForNary fork; export them to that file — inventing head
+      weights would produce confidently-wrong facts, so their absence is a
+      hard error.
+    """
+
+    def __init__(self, checkpoint_dir: str, num_classes: int):
+        import os
+
+        import torch
+        import transformers
+
+        self._torch = torch
+        self.model = transformers.AutoModel.from_pretrained(checkpoint_dir)
+        self.model.eval()
+        self.num_classes = num_classes
+        head_path = os.path.join(checkpoint_dir, "nary_heads.npz")
+        if not os.path.exists(head_path):
+            raise NotImplementedError(
+                f"no n-ary head weights at {head_path}; export the "
+                "reference's classifier heads (w: (3H, C), b: (C,)) — "
+                "see TorchEncoderAdapter docstring")
+        head = np.load(head_path)
+        self.head_w, self.head_b = head["w"], head["b"]
+
+    def encode(self, ids: np.ndarray, att: np.ndarray,
+               pos: np.ndarray) -> np.ndarray:
+        t = self._torch
+        with t.no_grad():
+            out = self.model(
+                input_ids=t.as_tensor(ids)[None],
+                attention_mask=t.as_tensor(att)[None],
+                position_ids=t.as_tensor(pos)[None])
+        return out.last_hidden_state[0].cpu().numpy()
+
+    def pair_logits(self, h1: np.ndarray, h2: np.ndarray,
+                    hsub: np.ndarray) -> np.ndarray:
+        feats = np.concatenate(
+            [h1, h2, np.broadcast_to(hsub, h1.shape)], axis=-1)
+        return feats @ self.head_w + self.head_b
+
+
+def load_torch_encoder(checkpoint_dir: str, num_classes: int):
+    """Gated import — torch/transformers bind only at weight-load time;
+    returns an object satisfying the MiniEncoder contract."""
     try:
         import torch  # noqa: F401
-        import transformers
+        import transformers  # noqa: F401
     except ImportError as e:  # pragma: no cover - not shipped here
         raise NotImplementedError(
             "loading a real checkpoint needs torch+transformers (not "
             "shipped in this container); pass checkpoint='mini' for the "
             "deterministic numpy encoder") from e
-    return transformers.AutoModel.from_pretrained(  # pragma: no cover
-        checkpoint_dir)
+    return TorchEncoderAdapter(checkpoint_dir, num_classes)  # pragma: no cover
 
 
 class ModelScorer:
@@ -235,7 +288,7 @@ class ModelScorer:
         if checkpoint == "mini":
             self.encoder = MiniEncoder(num_classes=num_classes)
         else:
-            self.encoder = load_torch_encoder(checkpoint)
+            self.encoder = load_torch_encoder(checkpoint, num_classes)
 
     def _token_ids(self, tokens: list[str]) -> list[int]:
         """Identity-vocab ids (stable per surface) with special tokens."""
@@ -288,13 +341,16 @@ class ModelScorer:
             sel = np.nonzero(cand[:, 1] == i)[0]
             jj, kk = cand[sel, 2], cand[sel, 3]
             sub_s, sub_e = int(entities[i, 0]), int(entities[i, 1])
-            # +1 everywhere: [CLS] occupies position 0 (run_re.py:477
-            # ``token2subword[..] - doc_offset + 1``)
+            # marker INSERTION positions are in the [CLS]-prefixed list,
+            # hence +1; marker_shifted_span takes RAW token positions — its
+            # ``+1`` IS the reference's [CLS] shift (run_re.py:477
+            # ``token2subword[..] - doc_offset + 1``), so passing +1 here
+            # would double-count the offset
             marked, sub_position = insert_subject_markers(
                 ["[CLS]"] + list(tokens), sub_s + 1, sub_e + 1)
             ids = self._token_ids(marked)
             left, right = marker_shifted_span(
-                entities[:, 0] + 1, entities[:, 1] + 1, sub_s + 1, sub_e + 1)
+                entities[:, 0], entities[:, 1], sub_s, sub_e)
             spans = np.column_stack([left, right])
             # each candidate (j, k) scores in the batch packing
             # union(group(j), group(k)) — one batch total when E <= P

@@ -116,12 +116,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's hyperplane bucket.
 
-    ``multi_probe=m`` additionally probes the m buckets at Hamming
-    distance 1 (one plane's sign flipped) — the standard recall lever at
-    large corpus sizes: a true neighbor lands in the same bucket with
-    P = (1 - theta/pi)^planes, and one flipped plane covers the most likely
-    miss.  Probing multiplies only the QUERY side by (1 + m) — the corpus
-    is hashed once — so the join stays bucket-bounded.
+    ``multi_probe=m`` additionally probes the m buckets with planes
+    0..m-1's sign flipped (uniform single-bit coverage; the classic
+    refinement — flipping the planes with the smallest per-query projection
+    margin first — would need the margins exposed from the bucket
+    computation and is not implemented).  Expected recall gain is roughly
+    proportional to m/planes.  Probing multiplies only the QUERY side by
+    (1 + m) — the corpus is hashed once — so the join stays bucket-bounded.
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),

@@ -176,28 +176,32 @@ def run_pipeline(
 
     # S6 — metrics sink: per-stage row counts / wall / partitions from the
     # lineage manifests, plus eval P/R/F1 when gold is supplied; written as
-    # a queryable long-format parquet table beside the data
-    import os
+    # a queryable long-format parquet table beside the data.  It is itself
+    # a manifest stage, so a fully-resumed rerun skips the (expensive)
+    # eval joins instead of recomputing them.
+    def build_metrics():
+        from text2nkg_spark.operators.metrics import metrics_table
 
-    from text2nkg_spark.operators.metrics import metrics_table
+        stage_metrics: dict[str, dict[str, float]] = {}
+        for st in ("sentences", "predictions", "facts", "main_triples",
+                   "fact_qualifiers", "compacted", "surface_to_entity",
+                   "entities", "facts_canonical"):
+            meta = man.read_meta(st)
+            if meta:
+                stage_metrics[st] = {
+                    "rows_out": meta["rows_out"],
+                    "wall_s": meta["wall_s"],
+                    "n_partitions": len(meta["partitions"]),
+                }
+        if gold is not None:
+            from text2nkg_spark.operators.metrics import (
+                relation_qualifier_prf)
 
-    stage_metrics: dict[str, dict[str, float]] = {}
-    for st in ("sentences", "predictions", "facts", "main_triples",
-               "fact_qualifiers", "compacted", "surface_to_entity",
-               "entities", "facts_canonical"):
-        meta = man.read_meta(st)
-        if meta:
-            stage_metrics[st] = {
-                "rows_out": meta["rows_out"],
-                "wall_s": meta["wall_s"],
-                "n_partitions": len(meta["partitions"]),
-            }
-    if gold is not None:
-        from text2nkg_spark.operators.metrics import relation_qualifier_prf
+            stage_metrics["eval"] = relation_qualifier_prf(preds, gold)
+        return metrics_table(spark, stage_metrics)
 
-        stage_metrics["eval"] = relation_qualifier_prf(preds, gold)
-    mdf = metrics_table(spark, stage_metrics)
-    mdf.write.mode("overwrite").parquet(os.path.join(out_root, "metrics"))
+    mdf = man.run_stage(
+        spark, "metrics", f"{fp2}|gold={gold is not None}", build_metrics)
 
     return {
         "sentences": sents, "predictions": preds, "facts": facts,
