@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--input", help="transcripts table path (parquet/Iceberg)")
     ap.add_argument("--output", required=True, help="output root directory")
     ap.add_argument("--scorer", default="hash", choices=["hash", "gold", "model"])
+    ap.add_argument("--tokenizer", default="identity",
+                    choices=["identity", "wordpiece"],
+                    help="candidate-pruning tokenizer (subword bounds)")
+    ap.add_argument("--model-checkpoint", default="mini",
+                    help="'mini' (numpy encoder) or a HF checkpoint dir "
+                         "(torch binds at weight load; see TorchEncoderAdapter)")
     ap.add_argument("--format", default="parquet")
     ap.add_argument("--master", default=None)
     ap.add_argument("--synthetic", type=int, default=0,
@@ -61,7 +67,9 @@ def main() -> None:
 
     t0 = time.time()
     out = run_pipeline(
-        spark, transcripts, args.output, PipelineConfig(scorer=args.scorer))
+        spark, transcripts, args.output,
+        PipelineConfig(scorer=args.scorer, tokenizer=args.tokenizer,
+                       model_checkpoint=args.model_checkpoint))
     stats = {name: df.count() for name, df in out.items()}
     stats["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
