@@ -97,7 +97,8 @@ gsrc AS (
          CAST(doc_id % 6 AS INT) AS p
   FROM documents),
 b AS (
-  SELECT 'conv' || CAST(d % {_N_CONVS} AS VARCHAR) AS conv_id,
+  SELECT d, two,
+         'conv' || CAST(d % {_N_CONVS} AS VARCHAR) AS conv_id,
          CAST(d // {_N_CONVS} AS INT) AS turn_idx,
          [[1, 1+two], [3+two, 3+two], [5+two, 5+two]] AS spans,
          ['ent' || CAST(d AS VARCHAR) || 'a'
@@ -399,6 +400,194 @@ def _q_multi_schema(schema, cap: int | None = None):
 
 
 # --------------------------------------------------------------------------
+# gold-oracle corpora for the event / role / hypergraph decodes — the same
+# doc_id arithmetic as _gold_oracle_corpus, but shaped like
+# operators/normalize.py output so the full multi-schema decode
+# (run_re.py:1519-1628 / 1764-1862 / 1979-2061) runs end to end with a
+# DuckDB-exact oracle.  The full-corpus reference-dev entries above stay as
+# rows-only checks; these planted corpora put the same code path under the
+# driver's hash compare.
+# --------------------------------------------------------------------------
+
+# fixed label spaces for the planted corpora (deterministic — no collect):
+# role merges relation labels into the qualifier space exactly as
+# labels_from_normalized does (run_re.py:399-430)
+_MULTI_GOLD_LABELS = {
+    "event": (("evt_0", "evt_1", "evt_2"),
+              ("ql_0", "ql_1", "rh_0", "rh_1", "rt_0", "rt_1", "rt_2")),
+    "role": (("rb_0", "rb_1", "rb_2"),
+             ("ra_0", "ra_1", "rb_0", "rb_1", "rb_2", "rc_0", "rc_1")),
+    "hypergraph": (("hg_0", "hg_1", "hg_2"), ()),
+}
+
+
+def _gold_multi_corpus(spark, sf_dir, schema):
+    """Normalized-shape gold corpus for one multi-schema decode.
+
+    Mentions per doc_id=d: the same three spans as _gold_oracle_corpus
+    ((1, 1+two), (3+two, 3+two), (5+two, 5+two), two = d%2); gold assigns
+    (h, t, q) = perm(d%6) over them.  Per-schema labels:
+
+      event       rel = evt_{d%3}, role_h = rh_{two}, role_t = rt_{d%3},
+                  qualifier label = ql_{two}
+      role        h role = ra_{two}, t role (the 'rel' slot,
+                  run_re.py:186-196) = rb_{d%3}, q role = rc_{two}
+      hypergraph  rel = hg_{d%3} duplicated onto the qualifier span
+                  (run_re.py:206)
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    two = (d % 2).cast("int")
+    p = (d % 6).cast("int")
+    starts = F.array(F.lit(1).cast("int"), two + 3, two + 5)
+    ends = F.array((two + 1).cast("int"), two + 3, two + 5)
+    hi = F.element_at(F.array(*[F.lit(x) for x in _PERM_H]), p + 1)
+    ti = F.element_at(F.array(*[F.lit(x) for x in _PERM_T]), p + 1)
+    qi = F.element_at(F.array(*[F.lit(x) for x in _PERM_Q]), p + 1)
+
+    def ss(ix):
+        return F.element_at(starts, ix + 1).cast("int")
+
+    def se(ix):
+        return F.element_at(ends, ix + 1).cast("int")
+
+    d3 = (d % 3).cast("string")
+    s2 = two.cast("string")
+    if schema == "event":
+        rel = F.concat(F.lit("evt_"), d3)
+        role_h = F.concat(F.lit("rh_"), s2)
+        role_t = F.concat(F.lit("rt_"), d3)
+        qlab = F.concat(F.lit("ql_"), s2)
+    elif schema == "role":
+        rel = F.concat(F.lit("rb_"), d3)  # the T mention's role slot
+        role_h = F.concat(F.lit("ra_"), s2)
+        role_t = F.lit(None).cast("string")
+        qlab = F.concat(F.lit("rc_"), s2)
+    else:  # hypergraph
+        rel = F.concat(F.lit("hg_"), d3)
+        role_h = rel
+        role_t = F.lit(None).cast("string")
+        qlab = rel
+    relations = F.array(F.struct(
+        ss(hi).alias("h_s"), se(hi).alias("h_e"),
+        ss(ti).alias("t_s"), se(ti).alias("t_e"),
+        rel.alias("rel"),
+        F.array(F.struct(
+            ss(qi).alias("q_s"), se(qi).alias("q_e"),
+            qlab.alias("label"))).alias("quals"),
+        role_h.alias("role_h"), role_t.alias("role_t")))
+    ner = F.array(*[
+        F.struct(ss(F.lit(m)).alias("start"), se(F.lit(m)).alias("end"),
+                 F.lit("Entity").alias("label"))
+        for m in range(3)])
+    return docs.select(
+        d.alias("doc_id"), F.lit(0).cast("int").alias("sent_idx"),
+        ner.alias("ner"), relations.alias("relations"))
+
+
+def _q_gold_multi(schema):
+    """Gold-scored multi-schema extraction over the planted corpus.
+
+    Emitted columns keep only the slots the schema defines (role has no
+    relation label; hypergraph has no per-mention roles), so every compared
+    cell is non-null and arithmetic-derivable."""
+
+    def q(spark, sf_dir):
+        from text2nkg_spark.config import PipelineConfig
+        from text2nkg_spark.operators.extraction_multi import (
+            SchemaLabels, extract_facts_multi)
+
+        norm = _gold_multi_corpus(spark, sf_dir, schema)
+        rels, quals = _MULTI_GOLD_LABELS[schema]
+        cfg = PipelineConfig(nary_schema=schema, scorer="gold")
+        out = extract_facts_multi(norm, schema, cfg,
+                                  SchemaLabels(rels, quals))
+        cols = ["doc_id", "sent_idx",
+                F.col("pred_idx").cast("int").alias("pred_idx")]
+        if schema != "role":
+            cols.append("rel")
+        for m in (1, 2, 3):
+            cols += [f"m{m}s", f"m{m}e"]
+            if schema != "hypergraph":
+                cols.append(f"m{m}_label")
+        return out.select(*cols)
+
+    return q
+
+
+def _gold_multi_oracle_sql(schema: str) -> str:
+    """DuckDB twin of _q_gold_multi: the decode emits the base-ordering
+    triple (sentence order), so mention m carries role_h / role_t(or the
+    role-schema rel slot) / the qualifier label according to whether
+    perm(d%6) put h, t or q on it."""
+    if schema == "event":
+        rel_sql = "'evt_' || d3 AS rel,"
+        lab = ("CASE WHEN hi = {m} THEN 'rh_' || s2 "
+               "WHEN ti = {m} THEN 'rt_' || d3 "
+               "ELSE 'ql_' || s2 END AS m{n}_label")
+    elif schema == "role":
+        rel_sql = ""
+        lab = ("CASE WHEN hi = {m} THEN 'ra_' || s2 "
+               "WHEN ti = {m} THEN 'rb_' || d3 "
+               "ELSE 'rc_' || s2 END AS m{n}_label")
+    else:
+        rel_sql = "'hg_' || d3 AS rel,"
+        lab = None
+    mention_cols = []
+    for m in range(3):
+        mention_cols.append(
+            f"CAST(spans[{m + 1}][1] AS INT) AS m{m + 1}s, "
+            f"CAST(spans[{m + 1}][2] AS INT) AS m{m + 1}e")
+        if lab is not None:
+            mention_cols.append(lab.format(m=m, n=m + 1))
+    cols = ",\n               ".join(mention_cols)
+    return f"""
+        WITH g AS (
+          SELECT doc_id AS d, CAST(doc_id % 2 AS INT) AS two,
+                 CAST(doc_id % 6 AS INT) AS p,
+                 CAST(doc_id % 3 AS VARCHAR) AS d3,
+                 CAST(doc_id % 2 AS VARCHAR) AS s2
+          FROM documents),
+        b AS (
+          SELECT d, d3, s2,
+                 [[1, 1+two], [3+two, 3+two], [5+two, 5+two]] AS spans,
+                 [0,0,1,1,2,2][p+1] AS hi,
+                 [1,2,0,2,0,1][p+1] AS ti,
+                 [2,1,2,0,1,0][p+1] AS qi
+          FROM g)
+        SELECT CAST(d AS BIGINT) AS doc_id, CAST(0 AS INT) AS sent_idx,
+               CAST(0 AS INT) AS pred_idx,
+               {rel_sql}
+               {cols}
+        FROM b
+    """
+
+
+def q_nkg_gold_pruned(spark, sf_dir):
+    """Wordpiece-pruned gold extraction: cfg(tokenizer='wordpiece',
+    piece_len=2, max_seq_length=20) over the gold corpus makes the subword
+    pruning (run_re.py:490-491, 516-517 analogue in candidates.py) engage
+    deterministically — a doc's planted fact survives iff the subword count
+    through its last mention fits the window: t2s[e2+1] + 2 < max-1, i.e.
+    8 + (3+two) * pieces < max-1 with pieces = 2 + ceil(len(str(d))/2).
+    Exercises the strict=False decode (skip triples with a pruned ordering)
+    under the driver's hash compare."""
+    from text2nkg_spark.config import PipelineConfig
+    from text2nkg_spark.labels import LabelSpace, make_synthetic_labels
+    from text2nkg_spark.plans.pipeline import extract
+
+    tr, gold = _gold_oracle_corpus(spark, sf_dir)
+    space = LabelSpace.build(*make_synthetic_labels(3, 2))
+    cfg = PipelineConfig(scorer="gold", tokenizer="wordpiece",
+                         wordpiece_piece_len=2, max_seq_length=20)
+    return extract(tr, cfg, space, gold=gold).select(
+        "conv_id", "turn_idx",
+        F.col("pred_idx").cast("int").alias("pred_idx"),
+        "m1s", "m1e", "m2s", "m2e", "rel", "m3s", "m3e", "qual",
+        "subj", "obj", "value")
+
+
+# --------------------------------------------------------------------------
 # relational / standard operators (SURVEY §2.9 checklist) on TPC-H-ish data
 # --------------------------------------------------------------------------
 
@@ -688,6 +877,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_event_extract": _q_multi_schema("event"),
         "nkg_role_extract": _q_multi_schema("role"),
         "nkg_hypergraph_extract": _q_multi_schema("hypergraph"),
+        "nkg_gold_event_extract": _q_gold_multi("event"),
+        "nkg_gold_role_extract": _q_gold_multi("role"),
+        "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
+        "nkg_gold_pruned": q_nkg_gold_pruned,
         # relational operator checklist
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -937,6 +1130,32 @@ def oracle_sql() -> dict[str, str]:
                      || '", "' || qual || '": ["' || surfs[qi+1] || '"]}}'
                      AS canonical_json
             FROM b
+        """,
+        "nkg_gold_event_extract": _gold_multi_oracle_sql("event"),
+        "nkg_gold_role_extract": _gold_multi_oracle_sql("role"),
+        "nkg_gold_hypergraph_extract": _gold_multi_oracle_sql("hypergraph"),
+        "nkg_gold_pruned": f"""
+            WITH {_GOLD_CORPUS_CTE}
+            SELECT conv_id, turn_idx, CAST(0 AS INT) AS pred_idx,
+                   CAST(spans[hi+1][1] AS INT) AS m1s,
+                   CAST(spans[hi+1][2] AS INT) AS m1e,
+                   CAST(spans[ti+1][1] AS INT) AS m2s,
+                   CAST(spans[ti+1][2] AS INT) AS m2e,
+                   rel,
+                   CAST(spans[qi+1][1] AS INT) AS m3s,
+                   CAST(spans[qi+1][2] AS INT) AS m3e,
+                   qual,
+                   surfs[hi+1] AS subj, surfs[ti+1] AS obj,
+                   surfs[qi+1] AS value
+            FROM b
+            -- survives iff the subword count through the LAST mention plus
+            -- the 2 subject markers fits the window (candidates.py
+            -- enumerate_triples_subword; every other pruning bound is
+            -- weaker): t2s[e2+1] + 2 < max_seq_length - 1 with
+            -- max_seq_length = 20, t2s[e2+1] = 6 + (3+two)*pieces,
+            -- pieces('ent'||d||x) = 2 + ceil(len(str(d))/2) at piece_len=2
+            WHERE 8 + (3 + two) * (2 + CAST(ceil(
+                    length(CAST(d AS VARCHAR)) / 2.0) AS INT)) < 19
         """,
         "nkg_gold_compacted_conv": f"""
             WITH {_GOLD_CORPUS_CTE}
