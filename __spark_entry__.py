@@ -817,11 +817,13 @@ def q_emb_neardup(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-bigram Jaccard within (lang, length-bucket) blocks."""
+    """Exact word-bigram Jaccard within (lang, length-bucket) blocks,
+    each block capped at 32 docs (active at sf0.01 AND sf0.1 — the oracle
+    mirrors the cap with an identically-keyed QUALIFY)."""
     from text2nkg_spark.operators.dedup import ngram_jaccard_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(d, threshold=0.4).select(
+    return ngram_jaccard_pairs(d, threshold=0.4, max_bucket=32).select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "jaccard")
@@ -1280,12 +1282,16 @@ def oracle_sql() -> dict[str, str]:
                      string_split(regexp_replace(lower(trim(text)),
                                                  '\\s+', ' ', 'g'), ' ') AS toks
               FROM documents),
-            sh AS (
+            sh0 AS (
               SELECT doc_id, lang, lb,
                      list_distinct(list_transform(
                        range(1, len(toks)),
                        i -> toks[i] || ' ' || toks[i+1])) AS grams
-              FROM base WHERE len(toks) >= 2)
+              FROM base WHERE len(toks) >= 2),
+            sh AS (
+              SELECT * FROM sh0
+              QUALIFY row_number() OVER (PARTITION BY lang, lb
+                                         ORDER BY doc_id) <= 32)
             SELECT CAST(l.doc_id AS BIGINT) AS a,
                    CAST(r.doc_id AS BIGINT) AS b,
                    CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)

@@ -86,6 +86,24 @@ def test_lsh_bucket_width_cap(spark):
     assert all(r.jaccard == 1.0 for r in kept)
 
 
+def test_brute_force_topk_guard(spark):
+    """The exact-baseline cartesian is guarded: oversized query sides fail
+    fast; within the bound the plan is a broadcast nested-loop (corpus
+    streams once, query side never shuffles)."""
+    import pytest as _pytest
+
+    from text2nkg_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(30).select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk(emb, q, k=3, max_queries=10)
+    ok = brute_force_topk(emb, q, k=3, max_queries=100)
+    p = _plan(ok)
+    assert "BroadcastNestedLoopJoin" in p
+    assert ok.where(F.col("rank") == 1).count() == 30
+
+
 def test_rollup_oracle(spark):
     """orders_rollup matches DuckDB GROUP BY ROLLUP (subtotal NULLs incl.)."""
     import tests.test_entry_contract as tc
@@ -97,6 +115,42 @@ def test_rollup_oracle(spark):
     a = tc._rows_multiset(list(df.columns), sr)
     b = tc._rows_multiset([d[0] for d in res.description], res.fetchall())
     assert a == b
+
+
+def test_ngram_jaccard_block_cap(spark):
+    """The (block_cols, lb) blocks are width-capped before the quadratic
+    self-join: W near-identical docs with cap C -> C*(C-1)/2 pairs (the
+    kept doc_id prefix), not W*(W-1)/2 — and the capped plan carries the
+    row_number window on the block key."""
+    from text2nkg_spark.operators.dedup import ngram_jaccard_pairs
+
+    w = 14
+    docs = spark.range(w).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"),
+        F.lit("the same bigram text block for every doc in the corpus")
+        .alias("text"))
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=6)
+    full = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=0)
+    assert full.count() == w * (w - 1) // 2
+    rows = capped.collect()
+    assert len(rows) == 6 * 5 // 2
+    assert {r.a for r in rows} | {r.b for r in rows} == set(range(6))
+    assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_ngram_cap_mirrored_by_oracle(spark):
+    """When the block cap BINDS at the entry's settings (sf0.01 has blocks
+    wider than 32), Spark and the DuckDB oracle truncate identically."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    df = em.queries()["dedup_ngram_jaccard"](spark, sf)
+    got = sorted((r.a, r.b, round(r.jaccard, 9)) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted((a, b, round(j, 9)) for a, b, j in con.execute(
+        em.oracle_sql()["dedup_ngram_jaccard"]).fetchall())
+    assert got == want
 
 
 def test_simhash_cap_mirrored_by_oracle(spark):

@@ -320,6 +320,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.4,
     length_bucket: int = 64,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard within (block_cols, length-bucket) blocks.
 
@@ -327,7 +328,16 @@ def ngram_jaccard_pairs(
     (exploded_word_ngrams — whole-stage codegen; the HOF formulation
     re-splits the text once per shingle after CollapseProject inlining,
     measured ~3x slower at sf0.1), so each doc's gram set is materialized
-    exactly once before the blocked self-join."""
+    exactly once before the blocked self-join.
+
+    ``max_bucket`` truncates each (block_cols, lb) block to its first
+    max_bucket docs (doc_id order) before the self-join — the same
+    cap_bucket_width guard every other pair generator gets.  Unlike LSH
+    band buckets these blocks are DATA-keyed (one hot (lang, length)
+    combination at 100 TB is millions of docs → an unsplittable O(W^2)
+    join task), so the cap is load-bearing here; route wider blocks
+    through minhash_lsh_pairs when full recall inside a hot block
+    matters.  0 disables."""
     extra = tuple((c, F.col(c)) for c in block_cols) + (
         ("lb", (F.length(F.col(text_col)) / length_bucket).cast("int")),)
     grams = exploded_word_ngrams(df, id_col, text_col, n, extra)
@@ -337,6 +347,7 @@ def ngram_jaccard_pairs(
         .where(F.size("sh") > 0)
     )
     keys = list(block_cols) + ["lb"]
+    base = cap_bucket_width(base, keys, "doc_id", max_bucket)
     cond = (F.col("l.doc_id") < F.col("r.doc_id"))
     for c in keys:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))

@@ -49,18 +49,33 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
 
-    The corpus side streams; the query side should be small enough to
-    broadcast (typical batched-ANN usage) — Catalyst picks the broadcast
-    automatically below the threshold, or wrap queries in
-    ``F.broadcast(...)`` upstream.
+    This is a deliberate corpus×queries cartesian — the exactness baseline.
+    The corpus side streams ONCE under a broadcast nested-loop join (the
+    query side is explicitly broadcast, never shuffled), which is only sane
+    for a bounded query batch: ``max_queries`` fails fast when the caller
+    passes a data-scale query side (count() on the query df — cheap by
+    construction) instead of silently scheduling |Q|x|C| work.  Pass
+    ``max_queries=0`` to opt out after sizing the job; ``lsh_topk`` is the
+    scale path.
     """
+    if max_queries > 0:
+        n_q = queries.count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk got {n_q} queries (> max_queries="
+                f"{max_queries}): the exact cartesian is |Q|x|C| — use "
+                "lsh_topk for data-scale query sides, or pass "
+                "max_queries=0 to opt in explicitly")
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn"))
-    q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn"))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       _norm(F.col(vec_col)).alias("qn")))
     scored = q.join(c, F.lit(True)).select(
         "query_id", "vec_id",
         (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
