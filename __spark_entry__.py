@@ -587,6 +587,31 @@ def q_nkg_gold_pruned(spark, sf_dir):
         "subj", "obj", "value")
 
 
+def q_nkg_fact_manifest(spark, sf_dir):
+    """S4/S5 per-partition lineage under the driver oracle: gold facts are
+    written through StageManifest.run_stage partitioned by an explicit
+    conv-derived bucket, REREAD from the committed parquet, and manifested
+    with the engine-portable content hash (bit_xor of md5_hash52 over the
+    canonical row string) — so the compared values prove the write→read
+    round trip preserved every fact byte-for-byte."""
+    import tempfile
+
+    from text2nkg_spark.operators.facts import fact_table
+    from text2nkg_spark.plans.manifest import StageManifest, lineage_manifest
+
+    preds = _gold_extract_preds(spark, sf_dir)
+    facts = fact_table(preds).withColumn(
+        "part_id",
+        ((F.col("turn_idx").cast("long") * _N_CONVS
+          + F.substring("conv_id", 5, 10).cast("long")) % 8).cast("int"))
+    man = StageManifest(tempfile.mkdtemp(prefix="nkg_fact_manifest_"))
+    written = man.run_stage(spark, "facts", "gold-corpus",
+                            lambda: facts, partition_by=["part_id"])
+    return lineage_manifest(
+        written, "facts", "part_id",
+        ["conv_id", "turn_idx", "rel", "subj", "obj", "qual", "value"])
+
+
 # --------------------------------------------------------------------------
 # relational / standard operators (SURVEY §2.9 checklist) on TPC-H-ish data
 # --------------------------------------------------------------------------
@@ -883,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_role_extract": _q_gold_multi("role"),
         "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
         "nkg_gold_pruned": q_nkg_gold_pruned,
+        "nkg_fact_manifest": q_nkg_fact_manifest,
         # relational operator checklist
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1158,6 +1184,17 @@ def oracle_sql() -> dict[str, str]:
             -- pieces('ent'||d||x) = 2 + ceil(len(str(d))/2) at piece_len=2
             WHERE 8 + (3 + two) * (2 + CAST(ceil(
                     length(CAST(d AS VARCHAR)) / 2.0) AS INT)) < 19
+        """,
+        "nkg_fact_manifest": f"""
+            WITH {_GOLD_CORPUS_CTE}
+            SELECT 'facts' AS stage, CAST(d % 8 AS INT) AS part_id,
+                   CAST(count(*) AS BIGINT) AS "rows",
+                   bit_xor({_hex52_sql(
+                       "concat_ws(chr(1), conv_id, "
+                       "CAST(turn_idx AS VARCHAR), rel, surfs[hi+1], "
+                       "surfs[ti+1], qual, surfs[qi+1])")})
+                     AS content_hash
+            FROM b GROUP BY d % 8
         """,
         "nkg_gold_compacted_conv": f"""
             WITH {_GOLD_CORPUS_CTE}

@@ -40,6 +40,35 @@ def partition_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def lineage_manifest(
+    df: DataFrame, stage: str, part_col: str, hash_cols: list[str]
+) -> DataFrame:
+    """Engine-portable per-partition lineage: (stage, part_id, rows,
+    content_hash) keyed by an EXPLICIT partition column.
+
+    Unlike :func:`partition_stats` (spark_partition_id — fast but
+    placement-dependent), this manifest is reproducible by any engine that
+    can group by ``part_col``: content_hash = bit_xor of the 52-bit md5 of
+    a canonical "\\x01"-joined row string — order-insensitive (xor
+    commutes), overflow-free (52-bit values under ANSI mode), and exactly
+    float64-representable so a DuckDB/downstream auditor recomputes it
+    bit-for-bit.  This is the hash a resume/audit step compares across a
+    write→read round trip.
+    """
+    from text2nkg_spark.operators.similarity import md5_hash52
+
+    canonical = F.concat_ws(
+        "\x01", *[F.col(c).cast("string") for c in hash_cols])
+    return (
+        df.groupBy(F.col(part_col).cast("int").alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(md5_hash52(canonical)).alias("content_hash"))
+        .select(F.lit(stage).alias("stage"), "part_id", "rows",
+                "content_hash")
+    )
+
+
 class StageManifest:
     """Filesystem-backed manifest for a pipeline run."""
 
