@@ -124,6 +124,64 @@ def test_mini_scorer_deterministic_and_wiring_sensitive():
     assert len(sc8._entity_groups(9)) == 3  # groups of P//2 = 4
 
 
+class _SingleOnlyEncoder:
+    """MiniEncoder stripped of encode_batch — forces the per-example
+    fallback path so the batched path can be tested against it."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.num_classes = inner.num_classes
+
+    def encode(self, ids, att, pos):
+        return self._inner.encode(ids, att, pos)
+
+    def pair_logits(self, h1, h2, hsub):
+        return self._inner.pair_logits(h1, h2, hsub)
+
+
+def test_encode_batch_bit_parity():
+    """encode_batch == stacked per-example encode, bit-for-bit (same
+    elementwise embed, same (T,T)@(T,H) GEMM per element)."""
+    rng = np.random.default_rng(3)
+    enc = MiniEncoder(num_classes=5)
+    ids = rng.integers(0, 30000, size=(6, 48)).astype(np.int64)
+    pos = rng.integers(0, 48, size=(6, 48)).astype(np.int64)
+    att = (rng.random((6, 48, 48)) < 0.3).astype(np.int64)
+    got = enc.encode_batch(ids, att, pos)
+    want = np.stack([enc.encode(ids[z], att[z], pos[z]) for z in range(6)])
+    assert np.array_equal(got, want)
+
+
+def test_batched_score_sentence_bit_parity():
+    """The chunked-batch scoring path emits logits bit-identical to the
+    per-example encode loop, across chunk boundaries (batch_examples=2
+    forces several chunks) and under group-pair batching (E > P)."""
+    tokens = ["w"] * 24
+    ents = np.column_stack([np.arange(6) * 3 + 1, np.arange(6) * 3 + 1])
+    cand = enumerate_triples(ents, 64)
+    batched = ModelScorer("mini", max_seq_length=64, max_pair_length=8,
+                          num_classes=7)
+    batched.batch_examples = 2
+    single = ModelScorer("mini", max_seq_length=64, max_pair_length=8,
+                         num_classes=7)
+    single.encoder = _SingleOnlyEncoder(MiniEncoder(num_classes=7))
+    rb, qb = batched.score_sentence(tokens, ents, cand)
+    rs, qs = single.score_sentence(tokens, ents, cand)
+    assert np.array_equal(rb, rs) and np.array_equal(qb, qs)
+    # E > max_pair_length: group-pair examples also chunk identically
+    big = np.column_stack([np.arange(9) * 2, np.arange(9) * 2])
+    big_cand = enumerate_triples(big, 64)
+    b8 = ModelScorer("mini", max_seq_length=64, max_pair_length=8,
+                     num_classes=7)
+    b8.batch_examples = 3
+    s8 = ModelScorer("mini", max_seq_length=64, max_pair_length=8,
+                     num_classes=7)
+    s8.encoder = _SingleOnlyEncoder(MiniEncoder(num_classes=7))
+    rb2, qb2 = b8.score_sentence(["t"] * 32, big, big_cand)
+    rs2, qs2 = s8.score_sentence(["t"] * 32, big, big_cand)
+    assert np.array_equal(rb2, rs2) and np.array_equal(qb2, qs2)
+
+
 def test_model_scored_pipeline_end_to_end(spark):
     """scorer='model' runs the full fused extraction (lazy per-worker
     scorer), deterministically, and the two-stage path emits the identical
@@ -163,9 +221,10 @@ def test_score_sentence_marker_positions_absolute():
     captured = []
 
     class SpyEncoder(MiniEncoder):
-        def encode(self, ids, att, pos):
-            captured.append((ids.copy(), pos.copy()))
-            return super().encode(ids, att, pos)
+        def encode_batch(self, ids, att, pos):
+            for z in range(ids.shape[0]):
+                captured.append((ids[z].copy(), pos[z].copy()))
+            return super().encode_batch(ids, att, pos)
 
     s_len, p = 32, 8
     sc = ModelScorer("mini", max_seq_length=s_len, max_pair_length=p,

@@ -99,7 +99,10 @@ class PackedBatch:
     (run_re.py:790-801), as numpy."""
 
     input_ids: np.ndarray       # (S + 2P,) int64
-    attention_mask: np.ndarray  # (S + 2P, S + 2P) int64 block mask
+    attention_mask: np.ndarray  # (S + 2P, S + 2P) int8 block mask
+    #   (int8: the 320x320 mask is the dominant allocation — zeroing
+    #   int64 masks measured as 60% of mini-scorer wall; encoders
+    #   upcast on use)
     position_ids: np.ndarray    # (S + 2P,) int64
     sub_position: np.ndarray    # (2,) int64
     mention_pos: np.ndarray     # (P, P, 2) object marker spans per cell
@@ -135,7 +138,7 @@ def packed_candidate_batch(
     ids[s_len:s_len + r] = MARKER_L_ID
     ids[s_len + p:s_len + p + r] = MARKER_R_ID
 
-    att = np.zeros((s_len + 2 * p, s_len + 2 * p), dtype=np.int64)
+    att = np.zeros((s_len + 2 * p, s_len + 2 * p), dtype=np.int8)
     att[:l, :l] = 1
 
     pos = np.concatenate(
@@ -184,7 +187,7 @@ class MiniEncoder:
         key = splitmix64(
             (ids.astype(np.uint64) * np.uint64(1_000_003))
             ^ splitmix64(pos.astype(np.uint64) + np.uint64(self.seed)))
-        grid = splitmix64(key[:, None] ^ splitmix64(h)[None, :])
+        grid = splitmix64(key[..., None] ^ splitmix64(h))
         return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
 
     def encode(self, ids: np.ndarray, att: np.ndarray,
@@ -193,6 +196,23 @@ class MiniEncoder:
         w = att.astype(np.float32)
         denom = np.maximum(w.sum(axis=1, keepdims=True), 1.0)
         return x + (w @ x) / denom  # one masked-attention mixing layer
+
+    def encode_batch(self, ids: np.ndarray, att: np.ndarray,
+                     pos: np.ndarray) -> np.ndarray:
+        """(B, T) ids / (B, T, T) mask / (B, T) positions -> (B, T, H).
+
+        Bit-identical to per-example :meth:`encode`: the embed vectorizes
+        over the whole chunk; the mixing layer stays a per-element
+        (T, T) @ (T, H) GEMM — numpy's stacked 3-D matmul does NOT dispatch
+        batch elements to BLAS and measures ~7x slower than the explicit
+        loop at (16, 320, 320) @ (16, 320, 16)."""
+        x = self._embed(ids, pos)
+        out = np.empty_like(x)
+        for z in range(ids.shape[0]):
+            w = att[z].astype(np.float32)
+            denom = np.maximum(w.sum(axis=1, keepdims=True), 1.0)
+            out[z] = x[z] + (w @ x[z]) / denom
+        return out
 
     def pair_logits(self, h1: np.ndarray, h2: np.ndarray,
                     hsub: np.ndarray) -> np.ndarray:
@@ -244,13 +264,20 @@ class TorchEncoderAdapter:  # pragma: no cover — torch not shipped here
 
     def encode(self, ids: np.ndarray, att: np.ndarray,
                pos: np.ndarray) -> np.ndarray:
+        return self.encode_batch(ids[None], att[None], pos[None])[0]
+
+    def encode_batch(self, ids: np.ndarray, att: np.ndarray,
+                     pos: np.ndarray) -> np.ndarray:
+        """(B, T) / (B, T, T) / (B, T) -> (B, T, H): ONE transformer
+        forward per example chunk — the reference's own DataLoader batching
+        (run_re.py:1202-1222), which a per-subject encode() loop forfeits."""
         t = self._torch
         with t.no_grad():
             out = self.model(
-                input_ids=t.as_tensor(ids)[None],
-                attention_mask=t.as_tensor(att)[None],
-                position_ids=t.as_tensor(pos)[None])
-        return out.last_hidden_state[0].cpu().numpy()
+                input_ids=t.as_tensor(ids),
+                attention_mask=t.as_tensor(att),
+                position_ids=t.as_tensor(pos))
+        return out.last_hidden_state.cpu().numpy()
 
     def pair_logits(self, h1: np.ndarray, h2: np.ndarray,
                     hsub: np.ndarray) -> np.ndarray:
@@ -323,6 +350,26 @@ class ModelScorer:
         half = max(p // 2, 1)
         return [np.arange(g, min(g + half, e)) for g in range(0, e, half)]
 
+    #: model examples per encoder call — bounds the stacked (B, T, T) mask
+    #: memory (T = max_seq_length + 2 * max_pair_length) while amortizing
+    #: the per-call dispatch; 16 examples at T=320 is ~13 MB of masks
+    batch_examples: int = 16
+
+    def _encode_examples(self, packed: list[PackedBatch]) -> np.ndarray:
+        """Stack packed examples and run ONE encoder pass per chunk —
+        mirrors the reference's DataLoader batching across subjects
+        (run_re.py:1202-1222).  Falls back to per-example encode() for
+        encoders that only implement the single-example contract."""
+        if not hasattr(self.encoder, "encode_batch"):
+            return np.stack([
+                self.encoder.encode(b.input_ids, b.attention_mask,
+                                    b.position_ids)
+                for b in packed])
+        return self.encoder.encode_batch(
+            np.stack([b.input_ids for b in packed]),
+            np.stack([b.attention_mask for b in packed]),
+            np.stack([b.position_ids for b in packed]))
+
     def score_sentence(
         self, tokens: list[str], entities: np.ndarray, cand: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -337,6 +384,9 @@ class ModelScorer:
         group_of = np.zeros(e, dtype=np.int64)
         for gi, g in enumerate(groups):
             group_of[g] = gi
+
+        # phase 1 — pack every (subject, group-pair) model example
+        examples: list[tuple[PackedBatch, np.ndarray, np.ndarray, np.ndarray]] = []
         for i in np.unique(cand[:, 1]):
             sel = np.nonzero(cand[:, 1] == i)[0]
             jj, kk = cand[sel, 2], cand[sel, 3]
@@ -353,23 +403,30 @@ class ModelScorer:
                 entities[:, 0], entities[:, 1], sub_s, sub_e)
             spans = np.column_stack([left, right])
             # each candidate (j, k) scores in the batch packing
-            # union(group(j), group(k)) — one batch total when E <= P
+            # union(group(j), group(k)) — one example total when E <= P
             batch_key = group_of[jj] * len(groups) + group_of[kk]
             for bk in np.unique(batch_key):
                 bsel = np.nonzero(batch_key == bk)[0]
-                ga, gb = groups[int(bk) // len(groups)], groups[int(bk) % len(groups)]
+                ga = groups[int(bk) // len(groups)]
+                gb = groups[int(bk) % len(groups)]
                 union = np.union1d(ga, gb)
                 batch = packed_candidate_batch(
                     ids, sub_position, spans[union], spans[union], s, p)
-                h = self.encoder.encode(
-                    batch.input_ids, batch.attention_mask,
-                    batch.position_ids)
-                hsub = h[batch.sub_position[0]]
                 ju = np.searchsorted(union, jj[bsel])
                 ku = np.searchsorted(union, kk[bsel])
+                examples.append((batch, sel[bsel], ju, ku))
+
+        # phase 2 — encode example chunks (one forward per chunk), then
+        # scatter per-candidate marker states into the logit rows
+        for lo in range(0, len(examples), self.batch_examples):
+            chunk = examples[lo:lo + self.batch_examples]
+            h_b = self._encode_examples([ex[0] for ex in chunk])
+            for z, (batch, selb, ju, ku) in enumerate(chunk):
+                h = h_b[z]
+                hsub = h[batch.sub_position[0]]
                 h1 = h[s + ju]        # object left markers per candidate
                 h2 = h[s + p + ju]    # object right markers per candidate
                 hq = h[s + ku] + h[s + p + ku]
-                rel[sel[bsel]] = self.encoder.pair_logits(h1, h2, hsub)
-                qul[sel[bsel]] = self.encoder.pair_logits(hq, h2, hsub)
+                rel[selb] = self.encoder.pair_logits(h1, h2, hsub)
+                qul[selb] = self.encoder.pair_logits(hq, h2, hsub)
         return rel, qul
