@@ -1,0 +1,155 @@
+"""TorchEncoderAdapter contract test WITHOUT torch: a fake torch/
+transformers pair drives the adapter's tensor plumbing — square (B, T, T)
+attention mask, position_ids overlay, head matmul dims — so the only code
+that has never executed in this container is the HF forward itself."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from text2nkg_spark.candidates import enumerate_triples
+from text2nkg_spark.operators.model_scorer import ModelScorer
+
+
+class _FakeHidden:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self._arr
+
+
+class _FakeModelOutput:
+    def __init__(self, arr):
+        self.last_hidden_state = _FakeHidden(arr)
+
+
+class _FakeBertModel:
+    """Records every forward's tensor shapes; emits deterministic hidden
+    states that depend on ids, mask AND positions (so a wiring bug that
+    drops or transposes an input changes the output)."""
+
+    hidden = 8
+
+    def __init__(self):
+        self.calls = []
+
+    def eval(self):
+        return self
+
+    def __call__(self, input_ids, attention_mask, position_ids):
+        self.calls.append(
+            (input_ids.shape, attention_mask.shape, position_ids.shape))
+        b, t = input_ids.shape
+        assert attention_mask.shape == (b, t, t), "mask must stay SQUARE"
+        h = np.arange(self.hidden, dtype=np.float64)
+        base = (input_ids[..., None] * 3.0 + position_ids[..., None] * 7.0
+                + h) / 100.0
+        # mix through the mask so visibility blocks are load-bearing
+        mixed = base + attention_mask.astype(np.float64) @ base / t
+        return _FakeModelOutput(mixed)
+
+
+@pytest.fixture()
+def fake_torch(monkeypatch, tmp_path):
+    torch = types.ModuleType("torch")
+    torch.as_tensor = lambda x: np.asarray(x)
+
+    class _NoGrad:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    torch.no_grad = _NoGrad
+    transformers = types.ModuleType("transformers")
+    model = _FakeBertModel()
+
+    class _AutoModel:
+        @staticmethod
+        def from_pretrained(path):
+            assert os.path.isdir(path)
+            return model
+
+    transformers.AutoModel = _AutoModel
+    monkeypatch.setitem(sys.modules, "torch", torch)
+    monkeypatch.setitem(sys.modules, "transformers", transformers)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    return str(ckpt), model
+
+
+def test_missing_heads_is_hard_error(fake_torch):
+    ckpt, _ = fake_torch
+    from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
+
+    with pytest.raises(NotImplementedError, match="nary_heads"):
+        TorchEncoderAdapter(ckpt, num_classes=5)
+
+
+def test_adapter_shapes_and_head_matmul(fake_torch):
+    ckpt, model = fake_torch
+    from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
+
+    c, h3 = 5, 3 * _FakeBertModel.hidden
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((h3, c))
+    b = rng.standard_normal(c)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"), w=w, b=b)
+
+    adapter = TorchEncoderAdapter(ckpt, num_classes=c)
+    ids = rng.integers(0, 30000, size=(3, 40)).astype(np.int64)
+    att = (rng.random((3, 40, 40)) < 0.4).astype(np.int8)
+    pos = rng.integers(0, 40, size=(3, 40)).astype(np.int64)
+    out = adapter.encode_batch(ids, att, pos)
+    assert out.shape == (3, 40, _FakeBertModel.hidden)
+    assert model.calls[-1] == ((3, 40), (3, 40, 40), (3, 40))
+    # single-example encode delegates through the same batched forward
+    one = adapter.encode(ids[0], att[0], pos[0])
+    assert one.shape == (40, _FakeBertModel.hidden)
+    assert np.array_equal(one, out[0])  # deterministic fake: same inputs
+    assert model.calls[-1] == ((1, 40), (1, 40, 40), (1, 40))
+
+    # pair_logits = concat(h1, h2, hsub) @ w + b, broadcasting hsub
+    h1 = rng.standard_normal((7, _FakeBertModel.hidden))
+    h2 = rng.standard_normal((7, _FakeBertModel.hidden))
+    hsub = rng.standard_normal(_FakeBertModel.hidden)
+    got = adapter.pair_logits(h1, h2, hsub)
+    want = np.concatenate(
+        [h1, h2, np.broadcast_to(hsub, h1.shape)], axis=-1) @ w + b
+    assert got.shape == (7, c)
+    assert np.allclose(got, want)
+
+
+def test_scorer_end_to_end_on_fake_checkpoint(fake_torch):
+    """ModelScorer drives the adapter through the real packed shapes:
+    square masks survive to the forward, marker position_ids carry the
+    span ends, and the logits align with candidate enumeration order."""
+    ckpt, model = fake_torch
+    c = 7
+    rng = np.random.default_rng(12)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"),
+             w=rng.standard_normal((3 * _FakeBertModel.hidden, c)),
+             b=rng.standard_normal(c))
+
+    sc = ModelScorer(ckpt, max_seq_length=48, max_pair_length=8,
+                     num_classes=c)
+    tokens = "the ent1 saw ent2 near ent3 now".split()
+    ents = np.array([[1, 1], [3, 3], [5, 5]])
+    cand = enumerate_triples(ents, 48)
+    rel, qul = sc.score_sentence(tokens, ents, cand)
+    assert rel.shape == (27, c) and qul.shape == (27, c)
+    assert np.isfinite(rel).all() and np.isfinite(qul).all()
+    # every forward saw the packed width T = S + 2P and a square mask
+    t = 48 + 2 * 8
+    assert all(s_ids[1] == t and s_att == (s_ids[0], t, t)
+               for s_ids, s_att, _ in model.calls)
+    rel2, qul2 = sc.score_sentence(tokens, ents, cand)
+    assert np.array_equal(rel, rel2) and np.array_equal(qul, qul2)

@@ -226,7 +226,9 @@ class MiniEncoder:
         return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
 
 
-class TorchEncoderAdapter:  # pragma: no cover — torch not shipped here
+class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
+    # tests/test_torch_adapter.py; only the genuine HF forward is untestable
+    # in this container
     """Encoder-contract adapter (encode / pair_logits / num_classes) over a
     HF checkpoint, so ``ModelScorer`` can swap the MiniEncoder for real
     weights without touching the packed-marker wiring.
