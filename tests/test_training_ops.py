@@ -113,6 +113,103 @@ def test_lsh_multi_probe_recall(spark, emb):
     assert all(q == v for q, v in own)
 
 
+def test_lsh_margin_probes_beat_uniform_flips(spark, emb):
+    """The margin-ordered probe rule (flip the planes with the smallest
+    |projection| first) reaches recall >= the r2 uniform plane-0..m-1 flip
+    at every equal probe count — the classic multi-probe refinement."""
+    from pyspark.sql import Window
+    from text2nkg_spark.operators.similarity import (
+        _dot, _norm, hyperplane_bucket)
+
+    # queries = perturbed corpus vectors, so each query HAS genuinely close
+    # neighbors — the regime multi-probe exists for.  (On structure-less
+    # random vectors the margin rule is provably no better than any flip
+    # choice: the true top-k are near-orthogonal, measured here first.)
+    rows = emb.limit(40).collect()
+    rng = np.random.default_rng(5)
+    qrows = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float32)
+        q = v + (0.10 * rng.standard_normal(v.shape).astype(np.float32)
+                 * np.linalg.norm(v) / np.sqrt(len(v)))
+        qrows.append((int(r.vec_id), [float(x) for x in q]))
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>")
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def uniform_lsh(m, k=5, planes=8):
+        # the replaced r2 probe rule, kept here as the comparison baseline
+        c = emb.select(
+            F.col("vec_id"), F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
+            hyperplane_bucket(F.col("embedding"), planes).alias("bucket"))
+        base = hyperplane_bucket(F.col("embedding"), planes)
+        probes = F.array(base, *[base.bitwiseXOR(F.lit(1 << p).cast("long"))
+                                 for p in range(m)])
+        q = queries.select(
+            "query_id", F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qn"),
+            F.explode(probes).alias("bucket"))
+        s = q.join(c, "bucket").select(
+            "query_id", "vec_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (F.col("qn") * F.col("cn"))).alias("cosine")
+        ).dropDuplicates(["query_id", "vec_id"])
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id"))
+        return s.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k)
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    margins = {m: recall(lsh_topk(emb, queries, k=5, multi_probe=m))
+               for m in (1, 2, 4)}
+    uniforms = {m: recall(uniform_lsh(m)) for m in (1, 2, 4)}
+    for m in (1, 2, 4):
+        assert margins[m] >= uniforms[m] - 1e-9, (m, margins, uniforms)
+    # ...and strictly better somewhere, not merely tied everywhere
+    assert sum(margins.values()) > sum(uniforms.values()), (
+        margins, uniforms)
+    # at m = planes both probe every single-bit flip: identical recall
+    assert abs(recall(lsh_topk(emb, queries, k=5, multi_probe=8))
+               - recall(uniform_lsh(8))) < 1e-9
+
+
+def test_margin_probe_planes_match_numpy_argsort(spark, emb):
+    """Deterministic property: the m flipped buckets are base XOR the m
+    planes with the smallest |projection|, margins recomputed independently
+    in numpy from the same md5-derived weights."""
+    import hashlib
+
+    rows = emb.limit(6).collect()
+    planes, seed, m = 8, 42, 3
+
+    def w(p, i):
+        h = hashlib.md5(f"{p}|{i}|{seed}".encode()).hexdigest()[:13]
+        return float(int(h, 16) - (1 << 51))
+
+    from text2nkg_spark.operators.similarity import _margin_probes
+
+    got = {
+        r.vec_id: list(r.probes)
+        for r in emb.limit(6).select(
+            "vec_id",
+            _margin_probes(F.col("embedding"), planes, seed, m)
+            .alias("probes")).collect()}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        projs = np.array(
+            [sum(float(x) * w(p, i) for i, x in enumerate(v))
+             for p in range(planes)])
+        base = sum((1 << p) for p in range(planes) if projs[p] > 0)
+        order = sorted(range(planes), key=lambda p: (abs(projs[p]), p))
+        want = [base] + [base ^ (1 << p) for p in order[:m]]
+        assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
+
+
 def test_topk_python_oracle(spark, emb):
     sub = emb.limit(100).cache()
     queries = sub.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")

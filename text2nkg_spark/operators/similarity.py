@@ -86,36 +86,72 @@ def brute_force_topk(
         F.col("rank") <= k)
 
 
+def _plane_projection(vec_col, p: int, seed: int):
+    """Plane p's signed projection of ``vec_col`` — the single source of
+    truth for bucket bits AND probe margins (left fold in element order, so
+    the float64 sum — and therefore the sign — reproduces exactly in any
+    engine with md5)."""
+    def weight(i):
+        key = F.concat_ws(
+            "|", F.lit(str(p)), i.cast("string"), F.lit(str(seed)))
+        return (md5_hash52(key) - F.lit(_CENTER_52).cast("long")
+                ).cast("double")
+
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.transform(vec_col, lambda _x, i: i),
+            lambda x, i: x.cast("double") * weight(i),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+
+
 def hyperplane_bucket(vec_col, planes: int = 8, seed: int = 42):
     """Sign-random-projection bucket id (0..2^planes-1), fully inline.
 
     Plane p's weight for dimension d = centered md5_hash52("p|d|seed") — a
     deterministic pseudo-uniform surrogate adequate for bucketing, and
-    bit-reproducible in DuckDB (the projection is a left fold in element
-    order, so the float64 sum — and therefore the sign — matches exactly).
+    bit-reproducible in DuckDB.
     """
-    def projection(p: int):
-        def weight(i):
-            key = F.concat_ws(
-                "|", F.lit(str(p)), i.cast("string"), F.lit(str(seed)))
-            return (md5_hash52(key) - F.lit(_CENTER_52).cast("long")
-                    ).cast("double")
-
-        return F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(vec_col, lambda _x, i: i),
-                lambda x, i: x.cast("double") * weight(i),
-            ),
-            F.lit(0.0), lambda a, x: a + x,
-        )
-
     out = F.lit(0).cast("long")
     for p in range(planes):
         out = out + F.when(
-            projection(p) > 0, F.lit(1 << p).cast("long")
+            _plane_projection(vec_col, p, seed) > 0, F.lit(1 << p).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def _margin_probes(vec_col, planes: int, seed: int, multi_probe: int):
+    """Probe bucket array ordered by per-plane |projection| margin.
+
+    The base bucket's bits derive from a per-plane projection array; the
+    ``multi_probe`` planes with the SMALLEST |projection| — the ones whose
+    sign is least certain — are flipped first (the classic multi-probe
+    refinement; a near-threshold vector's true neighbors most likely sit
+    across exactly those hyperplanes).  All expressions stay inline JVM
+    SQL; the query side is the only side that pays for the margin sort.
+    """
+    projs = F.array(
+        *[_plane_projection(vec_col, p, seed) for p in range(planes)])
+    base = F.lit(0).cast("long")
+    for p in range(planes):
+        base = base + F.when(
+            F.element_at(projs, p + 1) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    # struct sort = (|margin|, plane) lexicographic — deterministic ties
+    order = F.array_sort(F.array(*[
+        F.struct(
+            F.abs(F.element_at(projs, p + 1)).alias("m"),
+            F.lit(p).alias("p"))
+        for p in range(planes)]))
+    # 1 << plane via array lookup (shiftleft needs a literal shift amount)
+    pow2 = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
+    flips = [
+        base.bitwiseXOR(F.element_at(
+            pow2, F.element_at(order, i + 1)["p"] + 1))
+        for i in range(min(multi_probe, planes))]
+    return F.array(base, *flips)
 
 
 def lsh_topk(
@@ -131,23 +167,22 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's hyperplane bucket.
 
-    ``multi_probe=m`` additionally probes the m buckets with planes
-    0..m-1's sign flipped (uniform single-bit coverage; the classic
-    refinement — flipping the planes with the smallest per-query projection
-    margin first — would need the margins exposed from the bucket
-    computation and is not implemented).  Expected recall gain is roughly
-    proportional to m/planes.  Probing multiplies only the QUERY side by
-    (1 + m) — the corpus is hashed once — so the join stays bucket-bounded.
+    ``multi_probe=m`` additionally probes the m buckets reached by flipping
+    one bucket bit each — ordered by the query's per-plane |projection|
+    margin, smallest first (the sign least likely to separate true
+    neighbors flips first; measured recall >= the uniform plane-0..m-1
+    flip at equal probe count — tests/test_training_ops.py).  Probing
+    multiplies only the QUERY side by (1 + m) — the corpus is hashed
+    once — so the join stays bucket-bounded.
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
         hyperplane_bucket(F.col(vec_col), planes, seed).alias("bucket"))
-    base_bucket = hyperplane_bucket(F.col(vec_col), planes, seed)
-    probes = F.array(
-        base_bucket,
-        *[base_bucket.bitwiseXOR(F.lit(1 << p).cast("long"))
-          for p in range(min(multi_probe, planes))])
+    probes = (
+        _margin_probes(F.col(vec_col), planes, seed, multi_probe)
+        if multi_probe > 0
+        else F.array(hyperplane_bucket(F.col(vec_col), planes, seed)))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
