@@ -128,6 +128,28 @@ def test_adapter_shapes_and_head_matmul(fake_torch):
     assert np.allclose(got, want)
 
 
+def test_adapter_ner_head(fake_torch):
+    ckpt, _ = fake_torch
+    from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
+
+    c, cn, h = 5, 4, _FakeBertModel.hidden
+    rng = np.random.default_rng(13)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"),
+             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c))
+    adapter = TorchEncoderAdapter(ckpt, num_classes=c)
+    h1 = rng.standard_normal((6, h))
+    h2 = rng.standard_normal((6, h))
+    with pytest.raises(NotImplementedError, match="ner_w"):
+        adapter.span_logits(h1, h2, cn)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"),
+             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c),
+             ner_w=rng.standard_normal((2 * h, cn)),
+             ner_b=rng.standard_normal(cn))
+    adapter2 = TorchEncoderAdapter(ckpt, num_classes=c)
+    got = adapter2.span_logits(h1, h2, cn)
+    assert got.shape == (6, cn)
+
+
 def test_scorer_end_to_end_on_fake_checkpoint(fake_torch):
     """ModelScorer drives the adapter through the real packed shapes:
     square masks survive to the forward, marker position_ids carry the

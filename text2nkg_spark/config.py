@@ -56,6 +56,12 @@ class PipelineConfig:
     skew_cost_threshold: int = 1000  # E^3 above which the scoring stage salts
     score_chunk: int = 1024
 
+    # M5 — NER label source for the ner table / *_with_ner metrics
+    # (run_re.py:1246-1250, argparse default False = model-argmax mode;
+    # CANNOT affect emitted facts either way — the reference rebuilds
+    # pos2ner from the input NER per emitted item, run_re.py:1482-1485)
+    use_ner_results: bool = False
+
     # scoring
     scorer: str = "hash"  # 'hash' | 'gold' | 'model'
     gold_weight: float = 12.0

@@ -130,6 +130,71 @@ def relation_qualifier_prf(preds: DataFrame, gold: DataFrame) -> dict[str, float
     }
 
 
+def _enrich_with_ner(df: DataFrame, ner: DataFrame,
+                     spans: list[tuple[str, str, str]]) -> DataFrame:
+    """Join a span-keyed table with per-span NER labels (pos2ner lookup:
+    every candidate span comes from the NER results, so the join is total —
+    the reference's dict indexing would KeyError otherwise)."""
+    out = df
+    for s_col, e_col, lab in spans:
+        out = out.join(
+            ner.select(
+                "conv_id", "turn_idx",
+                F.col("start").alias(s_col), F.col("end").alias(e_col),
+                F.col("ner_label").alias(lab)),
+            ["conv_id", "turn_idx", s_col, e_col])
+    return out
+
+
+def relation_prf_withner(
+    preds: DataFrame, gold: DataFrame, gold_ner: DataFrame,
+    input_ner: DataFrame,
+) -> dict[str, int]:
+    """A4's *_with_ner counters (run_re.py:1505-1520): a predicted relation
+    (qualifier) counts as correct-with-ner iff the relation key matches the
+    golden set AND the INPUT-NER label of every touched span (pos2ner,
+    rebuilt per item from the input NER — run_re.py:1482-1485) equals the
+    GOLD span label (std_entity_labels in golden_labels_withner,
+    run_re.py:337-356).  The model-argmax ner stream never reaches these
+    counters — the per-item pos2ner updates are commented out (1486-1491).
+    """
+    rel_keys = ["conv_id", "turn_idx", "m1s", "m1e", "m2s", "m2e", "rel"]
+    q_keys = rel_keys + ["m3s", "m3e", "qual"]
+    m12 = [("m1s", "m1e", "l1"), ("m2s", "m2e", "l2")]
+    m123 = m12 + [("m3s", "m3e", "l3")]
+
+    pr = _enrich_with_ner(preds.select(*rel_keys).distinct(), input_ner, m12)
+    pq = _enrich_with_ner(preds.select(*q_keys).distinct(), input_ner, m123)
+    g_r = _enrich_with_ner(gold_relation_pairs(gold), gold_ner, m12)
+    g_q = _enrich_with_ner(gold_qualifier_six(gold), gold_ner, m123)
+
+    return {
+        "cor_with_ner": pr.join(
+            g_r, rel_keys + ["l1", "l2"], "left_semi").count(),
+        "q_cor_with_ner": pq.join(
+            g_q, q_keys + ["l1", "l2", "l3"], "left_semi").count(),
+    }
+
+
+def ner_refine_metrics(input_ner: DataFrame,
+                       gold_ner: DataFrame) -> dict[str, int]:
+    """D7 — the NER-refine tail (run_re.py:1509-1520): ner_ori_cor counts
+    input-NER spans whose label matches gold; the 'refined' recount uses
+    pos2ner — which the shipped code rebuilds from the SAME input NER
+    (1482-1485, per-item updates commented out at 1486-1491), so refine is
+    the identity and ner_cor == ner_ori_cor by construction.  Preserved
+    as-is; a de-quirked refine would substitute decode-consistent labels
+    here."""
+    keys = ["conv_id", "turn_idx", "start", "end", "ner_label"]
+    cor = input_ner.select(*keys).join(
+        gold_ner.select(*keys), keys, "left_semi").count()
+    return {
+        "ner_ori_cor": cor,
+        "ner_cor": cor,  # identity refine — the reference's shipped path
+        "ner_tot_pred": input_ner.count(),
+    }
+
+
 def gold_six_multi(norm: DataFrame, schema: str) -> DataFrame:
     """All-6-ordering golden qualifier sets for event/role/hypergraph
     (run_re.py:374-397, 407-430, 440-463): each ordered arrangement carries

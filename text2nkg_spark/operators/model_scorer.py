@@ -225,6 +225,21 @@ class MiniEncoder:
         grid = splitmix64(key[..., None] ^ splitmix64(c))
         return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
 
+    def span_logits(self, h1: np.ndarray, h2: np.ndarray,
+                    num_classes: int) -> np.ndarray:
+        """(..., H) marker-pair states -> (..., C_ner) NER-head logits
+        (the outputs[1]/outputs[3] analogue, run_re.py:1250) — keyed apart
+        from the relation heads so the two never alias."""
+        from text2nkg_spark.scoring_core import splitmix64
+
+        c = np.arange(num_classes, dtype=np.int64).astype(np.uint64)
+        feats = (h1 * 11.0 + h2 * 13.0).sum(axis=-1)
+        key = splitmix64(
+            (feats * 1e6).astype(np.int64).astype(np.uint64)
+            ^ np.uint64(0x9E37_79B9))
+        grid = splitmix64(key[..., None] ^ splitmix64(c))
+        return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
+
 
 class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
     # tests/test_torch_adapter.py; only the genuine HF forward is untestable
@@ -263,6 +278,7 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
                 "see TorchEncoderAdapter docstring")
         head = np.load(head_path)
         self.head_w, self.head_b = head["w"], head["b"]
+        self._head_path = head_path
 
     def encode(self, ids: np.ndarray, att: np.ndarray,
                pos: np.ndarray) -> np.ndarray:
@@ -286,6 +302,22 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         feats = np.concatenate(
             [h1, h2, np.broadcast_to(hsub, h1.shape)], axis=-1)
         return feats @ self.head_w + self.head_b
+
+    def span_logits(self, h1: np.ndarray, h2: np.ndarray,
+                    num_classes: int) -> np.ndarray:
+        """NER head (outputs[1]/outputs[3], run_re.py:1250): linear over the
+        marker-pair states, weights from optional ``ner_w``/``ner_b`` keys
+        in nary_heads.npz — absent keys are a hard error, same policy as
+        the relation heads."""
+        head = np.load(self._head_path)
+        if "ner_w" not in head or "ner_b" not in head:
+            raise NotImplementedError(
+                f"no NER head weights (ner_w/ner_b) in {self._head_path}; "
+                "export the reference's ner classifier to use "
+                "predicted-NER mode with a real checkpoint")
+        out = np.concatenate([h1, h2], axis=-1) @ head["ner_w"] + head["ner_b"]
+        assert out.shape[-1] == num_classes
+        return out
 
 
 def load_torch_encoder(checkpoint_dir: str, num_classes: int):
@@ -432,3 +464,38 @@ class ModelScorer:
                 rel[selb] = self.encoder.pair_logits(h1, h2, hsub)
                 qul[selb] = self.encoder.pair_logits(hq, h2, hsub)
         return rel, qul
+
+    def predict_mention_ner(
+        self, tokens: list[str], entities: np.ndarray, n_ner_classes: int
+    ) -> np.ndarray:
+        """M5 — per-mention NER label ids: argmax of the NER head over each
+        mention's levitated marker-pair states (the outputs[1] argmax at
+        run_re.py:1250, surfaced as one canonical prediction per mention
+        instead of one per (subject, candidate) tuple — the reference
+        computes it per subject-marked example and then never reads it,
+        because pos2ner is rebuilt from the input NER for every emitted
+        item, run_re.py:1482-1485).
+
+        Canonical packing: no subject markers; spans shift only past the
+        leading [CLS]; sub_position = (0, 0) so the CLS state stands in for
+        the subject slot.  Chunked at max_pair_length rows for any E.
+        """
+        e = entities.shape[0]
+        if e == 0:
+            return np.empty(0, dtype=np.int64)
+        s, p = self.max_seq_length, self.max_pair_length
+        ids = self._token_ids(["[CLS]"] + list(tokens))
+        spans = np.column_stack([entities[:, 0] + 1, entities[:, 1] + 1])
+        out = np.empty(e, dtype=np.int64)
+        packed = []
+        for lo in range(0, e, p):
+            packed.append(packed_candidate_batch(
+                ids, (0, 0), spans[lo:lo + p], spans[lo:lo + p], s, p))
+        h_b = self._encode_examples(packed)
+        for z, lo in enumerate(range(0, e, p)):
+            r = packed[z].n_rows
+            h = h_b[z]
+            lg = self.encoder.span_logits(
+                h[s:s + r], h[s + p:s + p + r], n_ner_classes)
+            out[lo:lo + r] = np.argmax(lg, axis=-1)
+        return out
