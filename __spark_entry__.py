@@ -878,6 +878,43 @@ def q_similarity_lsh_topk(spark, sf_dir):
         F.col("rank").cast("int").alias("rank"))
 
 
+def q_sample_deterministic(spark, sf_dir):
+    """Stable hash sampling (rate 0.2): kept set is a pure function of
+    (doc_id, seed) — rerun/repartition/engine invariant, rates nest."""
+    from text2nkg_spark.operators.sampling import deterministic_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(d, rate=0.2, seed=42).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "sample_bucket")
+
+
+_STRATA_RATES = {"en": 0.1, "de": 1.0, "es": 0.5, "fr": 0.25}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Language-rebalancing sample: per-stratum deterministic rates."""
+    from text2nkg_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(d, _STRATA_RATES, seed=42).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        "sample_bucket")
+
+
+def q_pack_token_shards(spark, sf_dir):
+    """Token-quota sharding (budget 2048) + per-shard packing manifest."""
+    from text2nkg_spark.operators.sampling import (
+        shard_stats, token_quota_shards)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_stats(token_quota_shards(d, budget=2048)).select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tok_total").cast("long").alias("tok_total"),
+        F.col("doc_min").cast("long").alias("doc_min"),
+        F.col("doc_max").cast("long").alias("doc_max"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload decode + pooled features, projected long-format so
     every output column is a sortable scalar (driver canonicalization)."""
@@ -929,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
+        "pack_token_shards": q_pack_token_shards,
     }
 
 
@@ -1460,6 +1500,47 @@ def oracle_sql() -> dict[str, str]:
             FROM f l JOIN f r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
             WHERE {_dot_sql('l.embedding', 'r.embedding')}
                   / (l.nrm * r.nrm) >= 0.3
+        """,
+        "sample_deterministic": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({_hex52_sql(
+                       "'42|' || CAST(doc_id AS VARCHAR)")} % 1000 AS INT)
+                     AS sample_bucket
+            FROM documents
+            WHERE {_hex52_sql("'42|' || CAST(doc_id AS VARCHAR)")} % 1000
+                  < 200
+        """,
+        "sample_stratified": f"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST({_hex52_sql(
+                         "'42|' || CAST(doc_id AS VARCHAR)")} % 1000 AS INT)
+                       AS sample_bucket
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, sample_bucket
+            FROM b
+            WHERE sample_bucket < CASE lang
+              WHEN 'en' THEN 100 WHEN 'de' THEN 1000
+              WHEN 'es' THEN 500 WHEN 'fr' THEN 250 ELSE 0 END
+        """,
+        "pack_token_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 2048 AS INT) AS shard
+              FROM t)
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+                   CAST(min(doc_id) AS BIGINT) AS doc_min,
+                   CAST(max(doc_id) AS BIGINT) AS doc_max
+            FROM s GROUP BY shard
         """,
         "dedup_simhash_pairs": _simhash_oracle_sql(max_hamming=6),
         "similarity_lsh_topk": f"""
