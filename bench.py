@@ -201,7 +201,10 @@ def main() -> None:
         # shared memory bus, not the plan; a real 4x cluster multiplies
         # memory channels with its nodes, which engine_core emulates.
         scaling["engine_core"] = _engine_core_scaling()  # window control
-        max_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "5"))
+        # at least one round — 0/negative would leave round_eff empty and
+        # crash the max() below after the control already spent its time
+        max_rounds = max(
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "5")))
         best_t: dict[int, float] = {}
         visits: list[dict] = []
         round_eff: dict[tuple[int, int], list[float]] = {

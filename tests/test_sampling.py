@@ -66,6 +66,38 @@ def test_token_quota_shards_prefix_property(spark, docs):
             r.n_tokens for r in rows if r.shard == sh) + 1
 
 
+def test_token_quota_shards_partitioned(spark, docs):
+    """part_col scopes the quota: shard ids restart per partition, so the
+    manifest and greedy packer key on (shard_part, shard) — shard 0 of one
+    lang must never merge with shard 0 of another."""
+    budget = 1024
+    sharded = token_quota_shards(docs, budget, part_col="lang")
+    rows = sharded.select("doc_id", "lang", "shard_part", "shard",
+                          "n_tokens").collect()
+    assert all(r.shard_part == r.lang for r in rows)
+    # per-lang python oracle
+    by_lang: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, lr in by_lang.items():
+        acc = 0
+        for r in lr:
+            assert r.shard == acc // budget, (lang, r.doc_id)
+            acc += r.n_tokens
+    # stats keyed (shard_part, shard): one row per lang-shard, not merged
+    st = shard_stats(sharded).collect()
+    assert len(st) == len({(r.lang, r.shard) for r in rows})
+    assert len({s.shard for s in st}) < len(st)  # ids DO repeat across langs
+    # greedy packer groups per (shard_part, shard): every bin is single-lang
+    lang_of = {r.doc_id: r.lang for r in rows}
+    packed = pack_greedy_bins(sharded, 256).collect()
+    bins: dict[tuple, set] = {}
+    for r in packed:
+        bins.setdefault((r.shard_part, r.shard, r.bin), set()).add(
+            lang_of[r.doc_id])
+    assert all(len(v) == 1 for v in bins.values())
+
+
 def test_pack_greedy_bins_python_oracle(spark, docs):
     budget = 512
     sharded = token_quota_shards(docs.limit(120), budget=4096)

@@ -279,6 +279,10 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         head = np.load(head_path)
         self.head_w, self.head_b = head["w"], head["b"]
         self._head_path = head_path
+        # NER head is optional (only predicted-NER mode needs it); cached
+        # here like the relation heads — never re-read in the scoring loop
+        self.ner_w = head["ner_w"] if "ner_w" in head else None
+        self.ner_b = head["ner_b"] if "ner_b" in head else None
 
     def encode(self, ids: np.ndarray, att: np.ndarray,
                pos: np.ndarray) -> np.ndarray:
@@ -307,15 +311,14 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
                     num_classes: int) -> np.ndarray:
         """NER head (outputs[1]/outputs[3], run_re.py:1250): linear over the
         marker-pair states, weights from optional ``ner_w``/``ner_b`` keys
-        in nary_heads.npz — absent keys are a hard error, same policy as
-        the relation heads."""
-        head = np.load(self._head_path)
-        if "ner_w" not in head or "ner_b" not in head:
+        in nary_heads.npz (cached at load) — absent keys are a hard error
+        at first use, same policy as the relation heads."""
+        if self.ner_w is None or self.ner_b is None:
             raise NotImplementedError(
                 f"no NER head weights (ner_w/ner_b) in {self._head_path}; "
                 "export the reference's ner classifier to use "
                 "predicted-NER mode with a real checkpoint")
-        out = np.concatenate([h1, h2], axis=-1) @ head["ner_w"] + head["ner_b"]
+        out = np.concatenate([h1, h2], axis=-1) @ self.ner_w + self.ner_b
         assert out.shape[-1] == num_classes
         return out
 
@@ -419,8 +422,11 @@ class ModelScorer:
         for gi, g in enumerate(groups):
             group_of[g] = gi
 
-        # phase 1 — pack every (subject, group-pair) model example
-        examples: list[tuple[PackedBatch, np.ndarray, np.ndarray, np.ndarray]] = []
+        # phase 1 — lightweight descriptors only (token ids + span slices);
+        # the heavy tensors (the (T, T) masks) are packed lazily per chunk
+        # in phase 2, so peak memory is batch_examples masks — not one per
+        # example, which at E=128 entities would hold ~GBs of masks alive
+        examples: list[tuple] = []  # (ids, sub_position, spans, sel, ju, ku)
         for i in np.unique(cand[:, 1]):
             sel = np.nonzero(cand[:, 1] == i)[0]
             jj, kk = cand[sel, 2], cand[sel, 3]
@@ -444,16 +450,19 @@ class ModelScorer:
                 ga = groups[int(bk) // len(groups)]
                 gb = groups[int(bk) % len(groups)]
                 union = np.union1d(ga, gb)
-                batch = packed_candidate_batch(
-                    ids, sub_position, spans[union], spans[union], s, p)
                 ju = np.searchsorted(union, jj[bsel])
                 ku = np.searchsorted(union, kk[bsel])
-                examples.append((batch, sel[bsel], ju, ku))
+                examples.append(
+                    (ids, sub_position, spans[union], sel[bsel], ju, ku))
 
-        # phase 2 — encode example chunks (one forward per chunk), then
-        # scatter per-candidate marker states into the logit rows
+        # phase 2 — pack + encode example chunks (one forward per chunk),
+        # then scatter per-candidate marker states into the logit rows
         for lo in range(0, len(examples), self.batch_examples):
-            chunk = examples[lo:lo + self.batch_examples]
+            chunk = [
+                (packed_candidate_batch(ids_, subp_, sp_, sp_, s, p),
+                 selb_, ju_, ku_)
+                for ids_, subp_, sp_, selb_, ju_, ku_
+                in examples[lo:lo + self.batch_examples]]
             h_b = self._encode_examples([ex[0] for ex in chunk])
             for z, (batch, selb, ju, ku) in enumerate(chunk):
                 h = h_b[z]
@@ -487,15 +496,21 @@ class ModelScorer:
         ids = self._token_ids(["[CLS]"] + list(tokens))
         spans = np.column_stack([entities[:, 0] + 1, entities[:, 1] + 1])
         out = np.empty(e, dtype=np.int64)
-        packed = []
-        for lo in range(0, e, p):
-            packed.append(packed_candidate_batch(
-                ids, (0, 0), spans[lo:lo + p], spans[lo:lo + p], s, p))
-        h_b = self._encode_examples(packed)
-        for z, lo in enumerate(range(0, e, p)):
-            r = packed[z].n_rows
-            h = h_b[z]
-            lg = self.encoder.span_logits(
-                h[s:s + r], h[s + p:s + p + r], n_ner_classes)
-            out[lo:lo + r] = np.argmax(lg, axis=-1)
+        starts = list(range(0, e, p))
+        # encode at most batch_examples packed examples per forward — the
+        # same bound score_sentence enforces (a 4096-mention sentence must
+        # not become one 128-example transformer batch)
+        for c0 in range(0, len(starts), self.batch_examples):
+            chunk_starts = starts[c0:c0 + self.batch_examples]
+            packed = [
+                packed_candidate_batch(
+                    ids, (0, 0), spans[lo:lo + p], spans[lo:lo + p], s, p)
+                for lo in chunk_starts]
+            h_b = self._encode_examples(packed)
+            for z, lo in enumerate(chunk_starts):
+                r = packed[z].n_rows
+                h = h_b[z]
+                lg = self.encoder.span_logits(
+                    h[s:s + r], h[s + p:s + p + r], n_ner_classes)
+                out[lo:lo + r] = np.argmax(lg, axis=-1)
         return out

@@ -48,19 +48,24 @@ def input_ner_table(norm_like: DataFrame,
 
 
 def predicted_ner_table(
-    sents: DataFrame, cfg: PipelineConfig, ner_label_list: list[str]
+    sents: DataFrame, cfg: PipelineConfig, ner_label_list: list[str],
+    space=None,
 ) -> DataFrame:
     """Model-NER mode: one canonical argmax label per detected mention from
     the scorer's NER head (run_re.py:1250 analogue), over the flat sentence
     contract (conv_id, turn_idx, text, m_starts, m_ends).  Same fused
-    mapInPandas shape as extraction — shuffle-free, worker-local scorer."""
+    mapInPandas shape as extraction — shuffle-free, worker-local scorer.
+
+    Pass the pipeline's ``space`` (LabelSpace) so this table REUSES the
+    worker's cached ModelScorer — the cache key includes num_classes, and
+    a mismatched default would load a second full checkpoint per worker."""
     labels = list(ner_label_list)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from text2nkg_spark.operators.extraction import _worker_model_scorer
         from text2nkg_spark.plans.pipeline import default_label_space
 
-        scorer = _worker_model_scorer(cfg, default_label_space())
+        scorer = _worker_model_scorer(cfg, space or default_label_space())
         cols = ["conv_id", "turn_idx", "start", "end", "ner_label"]
         for pdf in batches:
             out: list[tuple] = []
@@ -85,13 +90,14 @@ def predicted_ner_table(
 
 def mention_ner_table(
     sents: DataFrame, cfg: PipelineConfig, ner_label_list: list[str],
-    input_ner: DataFrame | None = None,
+    input_ner: DataFrame | None = None, space=None,
 ) -> DataFrame:
     """Mode dispatch: cfg.use_ner_results -> the input annotations
     (``input_ner`` or an exploded ``ner`` column on ``sents``), else the
-    model head's argmax."""
+    model head's argmax (pass the pipeline's ``space`` to share the
+    worker-cached scorer)."""
     if cfg.use_ner_results:
         if input_ner is not None:
             return input_ner
         return input_ner_table(sents)
-    return predicted_ner_table(sents, cfg, ner_label_list)
+    return predicted_ner_table(sents, cfg, ner_label_list, space=space)

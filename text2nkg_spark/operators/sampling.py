@@ -85,22 +85,33 @@ def token_quota_shards(
 
     Scale note: one global window is a single-reducer sort at 10^12 docs —
     pass ``part_col`` (e.g. a date or corpus bucket) to scope the quota
-    per partition, which is how sharding is actually run at size.
+    per partition, which is how sharding is actually run at size.  The
+    quota (and the shard counter) restarts per partition, so the emitted
+    ``shard_part`` column carries the partition value (empty string for
+    the global path) and downstream consumers key on (shard_part, shard).
     """
     toks = F.size(F.split(F.col(text_col), " "))
     w = (Window.partitionBy(part_col) if part_col is not None
          else Window.partitionBy()).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, -1)
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    if part_col is None:
+        part_val = F.lit("")
+    elif isinstance(part_col, str):
+        part_val = F.col(part_col).cast("string")
+    else:
+        part_val = part_col.cast("string")
     return (
         df.withColumn("n_tokens", toks)
+        .withColumn("shard_part", part_val)
         .withColumn("shard", F.floor(before / budget).cast("int"))
     )
 
 
 def shard_stats(sharded: DataFrame) -> DataFrame:
-    """Per-shard summary (the sink-side manifest of a packing run)."""
-    return sharded.groupBy("shard").agg(
+    """Per-(partition, shard) summary (the sink-side packing manifest) —
+    keyed on (shard_part, shard): shard ids restart per quota partition."""
+    return sharded.groupBy("shard_part", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("tok_total"),
         F.min("doc_id").alias("doc_min"),
@@ -108,7 +119,8 @@ def shard_stats(sharded: DataFrame) -> DataFrame:
     )
 
 
-GREEDY_SCHEMA = "doc_id long, n_tokens int, shard int, bin int, bin_pos int"
+GREEDY_SCHEMA = ("doc_id long, n_tokens int, shard_part string, "
+                 "shard int, bin int, bin_pos int")
 
 
 def pack_greedy_bins(sharded: DataFrame, budget: int) -> DataFrame:
@@ -117,8 +129,9 @@ def pack_greedy_bins(sharded: DataFrame, budget: int) -> DataFrame:
     the sequential scan is bounded by the shard budget and shards pack in
     parallel).  A doc longer than the budget gets its own bin.
 
-    Output bins are (shard, bin) pairs; pytest asserts parity with a
-    pure-python greedy oracle.
+    Output bins are (shard_part, shard, bin) triples — shard ids restart
+    per quota partition, so the group key includes shard_part; pytest
+    asserts parity with a pure-python greedy oracle.
     """
     import pandas as pd
 
@@ -134,12 +147,12 @@ def pack_greedy_bins(sharded: DataFrame, budget: int) -> DataFrame:
             poss.append(pos)
             acc += t
             pos += 1
-        out = pdf[["doc_id", "n_tokens", "shard"]].copy()
+        out = pdf[["doc_id", "n_tokens", "shard_part", "shard"]].copy()
         out["bin"] = bins
         out["bin_pos"] = poss
         return out
 
     return (
-        sharded.select("doc_id", "n_tokens", "shard")
-        .groupBy("shard").applyInPandas(pack, GREEDY_SCHEMA)
+        sharded.select("doc_id", "n_tokens", "shard_part", "shard")
+        .groupBy("shard_part", "shard").applyInPandas(pack, GREEDY_SCHEMA)
     )

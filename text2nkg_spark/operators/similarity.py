@@ -59,10 +59,13 @@ def brute_force_topk(
     for a bounded query batch: ``max_queries`` fails fast when the caller
     passes a data-scale query side (count() on the query df — cheap by
     construction) instead of silently scheduling |Q|x|C| work.  Pass
-    ``max_queries=0`` to opt out after sizing the job; ``lsh_topk`` is the
-    scale path.
+    ``max_queries=0`` to opt out of BOTH the guard and the broadcast hint
+    (Catalyst then plans the join for whatever size arrives — a giant
+    query side must not be forced through the driver); ``lsh_topk`` is
+    the scale path.
     """
-    if max_queries > 0:
+    guarded = max_queries > 0
+    if guarded:
         n_q = queries.count()
         if n_q > max_queries:
             raise ValueError(
@@ -72,10 +75,11 @@ def brute_force_topk(
                 "max_queries=0 to opt in explicitly")
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn"))
-    q = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"),
+    q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       _norm(F.col(vec_col)).alias("qn")))
+                       _norm(F.col(vec_col)).alias("qn"))
+    if guarded:  # size-checked -> safe to pin the broadcast plan
+        q = F.broadcast(q)
     scored = q.join(c, F.lit(True)).select(
         "query_id", "vec_id",
         (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
