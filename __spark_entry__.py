@@ -834,7 +834,8 @@ def q_emb_neardup(spark, sf_dir):
     from text2nkg_spark.operators.dedup import embedding_cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_cosine_pairs(emb, threshold=0.3).select(
+    dim = len(emb.select("embedding").first()[0])  # fold plane weights
+    return embedding_cosine_pairs(emb, threshold=0.3, lsh_dim=dim).select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "cosine",
@@ -870,9 +871,10 @@ def q_similarity_lsh_topk(spark, sf_dir):
     from text2nkg_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])  # fold plane weights
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, queries, k=10).select(
+    return lsh_topk(emb, queries, k=10, dim=dim).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("rank").cast("int").alias("rank"))

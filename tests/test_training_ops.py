@@ -178,6 +178,33 @@ def test_lsh_margin_probes_beat_uniform_flips(spark, emb):
                - recall(uniform_lsh(8))) < 1e-9
 
 
+def test_hyperplane_literal_dim_path_bit_identical(spark, emb):
+    """The dim-folded literal-weight path emits bit-identical buckets AND
+    probe arrays to the inline-md5 path (same md5 floats, same fold
+    order), and a mismatched dim fails loudly instead of null-bucketing."""
+    from pyspark.sql.utils import PythonException
+
+    from text2nkg_spark.operators.similarity import (
+        _margin_probes, hyperplane_bucket)
+
+    sub = emb.limit(50)
+    dim = len(sub.select("embedding").first()[0])
+    a = sub.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), 8, 42).alias("b"),
+        _margin_probes(F.col("embedding"), 8, 42, 3).alias("p")).collect()
+    b = sub.select(
+        "vec_id",
+        hyperplane_bucket(F.col("embedding"), 8, 42, dim=dim).alias("b"),
+        _margin_probes(F.col("embedding"), 8, 42, 3, dim=dim).alias("p")
+    ).collect()
+    assert sorted((r.vec_id, r.b, tuple(r.p)) for r in a) == \
+        sorted((r.vec_id, r.b, tuple(r.p)) for r in b)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="dim mismatch"):
+        sub.select(hyperplane_bucket(
+            F.col("embedding"), 8, 42, dim=dim + 1)).collect()
+
+
 def test_margin_probe_planes_match_numpy_argsort(spark, emb):
     """Deterministic property: the m flipped buckets are base XOR the m
     planes with the smallest |projection|, margins recomputed independently

@@ -380,6 +380,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     lsh_planes: int = 8,
     lsh_seed: int = 42,
+    lsh_dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold within blocks.
 
@@ -396,7 +397,8 @@ def embedding_cosine_pairs(
     norm = F.sqrt(F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x))
     bucket_cols = (
-        [hyperplane_bucket(F.col(vec_col), lsh_planes, lsh_seed).alias("_bkt")]
+        [hyperplane_bucket(F.col(vec_col), lsh_planes, lsh_seed,
+                           lsh_dim).alias("_bkt")]
         if lsh_planes > 0 else [])
     base = emb.select(
         F.col(id_col).alias("vec_id"),

@@ -90,11 +90,34 @@ def brute_force_topk(
         F.col("rank") <= k)
 
 
-def _plane_projection(vec_col, p: int, seed: int):
+def _weight_py(p: int, i: int, seed: int) -> float:
+    """Python twin of the in-plan md5 weight — same 13-hex-char md5, same
+    centered float64, bit-identical (hashlib and Spark agree on md5)."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}|{i}|{seed}".encode()).hexdigest()[:13]
+    return float(int(h, 16) - _CENTER_52)
+
+
+def _plane_projection(vec_col, p: int, seed: int, dim: int | None = None):
     """Plane p's signed projection of ``vec_col`` — the single source of
     truth for bucket bits AND probe margins (left fold in element order, so
     the float64 sum — and therefore the sign — reproduces exactly in any
-    engine with md5)."""
+    engine with md5).
+
+    The weights are DATA-INDEPENDENT: when ``dim`` is known, they fold to
+    a literal array built driver-side (same md5 → bit-identical floats),
+    removing planes x dim md5 evaluations per ROW from the plan — measured
+    multi-x on the embedding queries.  ``dim=None`` keeps the fully-inline
+    md5 path (any length, no caller knowledge needed).
+    """
+    if dim is not None:
+        w = F.array(*[F.lit(_weight_py(p, i, seed)) for i in range(dim)])
+        return F.aggregate(
+            F.zip_with(vec_col, w, lambda x, wi: x.cast("double") * wi),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+
     def weight(i):
         key = F.concat_ws(
             "|", F.lit(str(p)), i.cast("string"), F.lit(str(seed)))
@@ -111,22 +134,39 @@ def _plane_projection(vec_col, p: int, seed: int):
     )
 
 
-def hyperplane_bucket(vec_col, planes: int = 8, seed: int = 42):
+def _dim_guard(vec_col, dim: int | None, expr):
+    """With a literal-weight ``dim``, a mismatched vector would silently
+    zip against NULL weights and bucket as NULL (rows dropped by the
+    equi-join) — fail loudly instead."""
+    if dim is None:
+        return expr
+    return F.when(F.size(vec_col) == dim, expr).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"hyperplane dim mismatch: expected {dim}, got "),
+            F.size(vec_col).cast("string"))))
+
+
+def hyperplane_bucket(vec_col, planes: int = 8, seed: int = 42,
+                      dim: int | None = None):
     """Sign-random-projection bucket id (0..2^planes-1), fully inline.
 
     Plane p's weight for dimension d = centered md5_hash52("p|d|seed") — a
     deterministic pseudo-uniform surrogate adequate for bucketing, and
-    bit-reproducible in DuckDB.
+    bit-reproducible in DuckDB.  Pass ``dim`` (the known vector length) to
+    fold the weights into driver-built literals — identical buckets,
+    no per-row md5 work.
     """
     out = F.lit(0).cast("long")
     for p in range(planes):
         out = out + F.when(
-            _plane_projection(vec_col, p, seed) > 0, F.lit(1 << p).cast("long")
+            _plane_projection(vec_col, p, seed, dim) > 0,
+            F.lit(1 << p).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return out
+    return _dim_guard(vec_col, dim, out)
 
 
-def _margin_probes(vec_col, planes: int, seed: int, multi_probe: int):
+def _margin_probes(vec_col, planes: int, seed: int, multi_probe: int,
+                   dim: int | None = None):
     """Probe bucket array ordered by per-plane |projection| margin.
 
     The base bucket's bits derive from a per-plane projection array; the
@@ -137,7 +177,7 @@ def _margin_probes(vec_col, planes: int, seed: int, multi_probe: int):
     SQL; the query side is the only side that pays for the margin sort.
     """
     projs = F.array(
-        *[_plane_projection(vec_col, p, seed) for p in range(planes)])
+        *[_plane_projection(vec_col, p, seed, dim) for p in range(planes)])
     base = F.lit(0).cast("long")
     for p in range(planes):
         base = base + F.when(
@@ -155,7 +195,7 @@ def _margin_probes(vec_col, planes: int, seed: int, multi_probe: int):
         base.bitwiseXOR(F.element_at(
             pow2, F.element_at(order, i + 1)["p"] + 1))
         for i in range(min(multi_probe, planes))]
-    return F.array(base, *flips)
+    return _dim_guard(vec_col, dim, F.array(base, *flips))
 
 
 def lsh_topk(
@@ -168,6 +208,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     multi_probe: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's hyperplane bucket.
 
@@ -182,11 +223,12 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        hyperplane_bucket(F.col(vec_col), planes, seed).alias("bucket"))
+        hyperplane_bucket(F.col(vec_col), planes, seed, dim)
+        .alias("bucket"))
     probes = (
-        _margin_probes(F.col(vec_col), planes, seed, multi_probe)
+        _margin_probes(F.col(vec_col), planes, seed, multi_probe, dim)
         if multi_probe > 0
-        else F.array(hyperplane_bucket(F.col(vec_col), planes, seed)))
+        else F.array(hyperplane_bucket(F.col(vec_col), planes, seed, dim)))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
