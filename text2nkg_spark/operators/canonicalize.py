@@ -75,18 +75,27 @@ def lsh_candidate_pairs(
         F.col(surface_col).alias("s"),
         char_shingles(F.col(surface_col), shingle_n).alias("sh"),
     ).where(F.size("sh") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    # exploded minhash shape: one md5 column per hash over exploded
+    # shingles + a min-aggregate, instead of num_hashes nested HOF
+    # transforms.  Identical signatures (min over the same md5 strings,
+    # tested vs minhash_signature) — but the flat expressions stay inside
+    # whole-stage codegen AND compile in ms, where the nested-HOF tree
+    # took seconds of janino work per fresh session (the dominant cold
+    # cost of the entities query)
+    ex = sh.select("s", F.explode("sh").alias("g"))
+    minned = ex.groupBy("s").agg(*[
+        F.min(F.md5(F.concat_ws(
+            "|", F.lit(str(seed)), F.lit(str(h)), F.col("g"))
+        )).alias(f"_m{h}")
+        for h in range(num_hashes)])
+    sig = sh.join(minned, "s")
     banded = sig.select(
         "s", "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(
-                        F.slice(F.col("sig"), b * rows_per_band + 1,
-                                rows_per_band), ",")),
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[
+                F.col(f"_m{b * rows_per_band + r}")
+                for r in range(rows_per_band)]))
+            for b in range(bands)])).alias("band_id", "band_hash"),
     )
     from text2nkg_spark.operators.dedup import cap_bucket_width
 
@@ -237,7 +246,13 @@ def canonicalize_entities(
     # corpus approaches its birthday bound); component id = the
     # lexicographically-min surface, so entity_id doubles as a canonical
     # key and the DuckDB oracle reproduces it with plain string mins
-    distinct_surf = mention_surfaces_df.select("surface").distinct()
+    #
+    # persist the surface stream: three consumers read it (the CC collect/
+    # edge build, the surface->component join, the mention->entity join),
+    # and without a cache each re-evaluates the upstream mention-detection
+    # fold — measured ~2x the whole query's wall at sf0.1
+    mention_surfaces_df = mention_surfaces_df.persist()
+    distinct_surf = mention_surfaces_df.select("surface").distinct().persist()
 
     pairs = lsh_candidate_pairs(
         distinct_surf, "surface",
