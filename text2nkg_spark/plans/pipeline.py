@@ -174,6 +174,23 @@ def run_pipeline(
         spark, "facts_canonical", fp2,
         lambda: rekey_facts_to_entities(main, s2e.select("surface", "entity_id")))
 
+    # M5 — per-mention NER labels (run_re.py:1246-1250): predicted-NER mode
+    # scores every detected mention through the model head; input-NER mode
+    # needs annotations the transcript shape doesn't carry, so the stage
+    # runs only in predicted mode.  Cannot affect the fact tables above
+    # (pos2ner rebuild, operators/ner.py) — a separate, resumable stage.
+    mention_ner = None
+    if not cfg.use_ner_results:
+        def build_ner():
+            from text2nkg_spark.operators.ner import predicted_ner_table
+
+            return predicted_ner_table(
+                sents, cfg, ["NIL", "Entity"], space=space)
+
+        mention_ner = man.run_stage(
+            spark, "mention_ner",
+            f"{fp2}|ner={cfg.use_ner_results}", build_ner)
+
     # S6 — metrics sink: per-stage row counts / wall / partitions from the
     # lineage manifests, plus eval P/R/F1 when gold is supplied; written as
     # a queryable long-format parquet table beside the data.  It is itself
@@ -185,7 +202,7 @@ def run_pipeline(
         stage_metrics: dict[str, dict[str, float]] = {}
         for st in ("sentences", "predictions", "facts", "main_triples",
                    "fact_qualifiers", "compacted", "surface_to_entity",
-                   "entities", "facts_canonical"):
+                   "entities", "facts_canonical", "mention_ner"):
             meta = man.read_meta(st)
             if meta:
                 stage_metrics[st] = {
@@ -203,10 +220,13 @@ def run_pipeline(
     mdf = man.run_stage(
         spark, "metrics", f"{fp2}|gold={gold is not None}", build_metrics)
 
-    return {
+    out = {
         "sentences": sents, "predictions": preds, "facts": facts,
         "main_triples": main, "fact_qualifiers": quals,
         "compacted": comp, "entities": entities,
         "surface_to_entity": s2e, "facts_canonical": facts_canonical,
         "metrics": mdf,
     }
+    if mention_ner is not None:
+        out["mention_ner"] = mention_ner
+    return out
