@@ -814,6 +814,13 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def _probe_dim(emb, vec_col: str = "embedding") -> int | None:
+    """Vector length from the first row, or None (inline-md5 fallback) for
+    an empty table / NULL first vector."""
+    row = emb.select(vec_col).first()
+    return len(row[0]) if row is not None and row[0] is not None else None
+
+
 def q_emb_topk(spark, sf_dir):
     from text2nkg_spark.operators.similarity import brute_force_topk
 
@@ -834,7 +841,7 @@ def q_emb_neardup(spark, sf_dir):
     from text2nkg_spark.operators.dedup import embedding_cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])  # fold plane weights
+    dim = _probe_dim(emb)  # fold plane weights when the dim is knowable
     return embedding_cosine_pairs(emb, threshold=0.3, lsh_dim=dim).select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
@@ -871,7 +878,7 @@ def q_similarity_lsh_topk(spark, sf_dir):
     from text2nkg_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])  # fold plane weights
+    dim = _probe_dim(emb)  # fold plane weights when the dim is knowable
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return lsh_topk(emb, queries, k=10, dim=dim).select(

@@ -234,10 +234,13 @@ def main() -> None:
             for lo, hi in ((4, 16), (8, 32)):
                 round_eff[(lo, hi)].append(
                     round(rates_this[hi] / rates_this[lo] / 4.0, 3))
-            # stop early once a round is clean: the target reached, or the
-            # Spark ratio at/above what this window's control ceiling
-            # allowed any software to show
-            if round_eff[(4, 16)][-1] >= min(0.8, ctrl):
+            # stop early ONLY when a round actually reaches the target —
+            # a sub-0.8 round that merely matches a degraded window's
+            # control must NOT end the search (the remaining rounds exist
+            # precisely to catch a cleaner window); if every round stays
+            # degraded, gate_round_control above is the adjacent ceiling
+            # evidence
+            if round_eff[(4, 16)][-1] >= 0.8:
                 break
         rates = {c: n_turns / t for c, t in best_t.items()}
         scaling.update({

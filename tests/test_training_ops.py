@@ -203,6 +203,14 @@ def test_hyperplane_literal_dim_path_bit_identical(spark, emb):
     with _pytest.raises(Exception, match="dim mismatch"):
         sub.select(hyperplane_bucket(
             F.col("embedding"), 8, 42, dim=dim + 1)).collect()
+    # NULL vectors degrade exactly like the inline path (no raise)
+    dirty = spark.createDataFrame(
+        [(1, [0.5] * dim), (2, None)], f"vec_id long, embedding array<float>")
+    got = dirty.select(
+        "vec_id",
+        hyperplane_bucket(F.col("embedding"), 8, 42, dim=dim).alias("bd"),
+        hyperplane_bucket(F.col("embedding"), 8, 42).alias("bi")).collect()
+    assert all(r.bd == r.bi for r in got)
 
 
 def test_margin_probe_planes_match_numpy_argsort(spark, emb):

@@ -82,12 +82,12 @@ def lsh_candidate_pairs(
     # whole-stage codegen AND compile in ms, where the nested-HOF tree
     # took seconds of janino work per fresh session (the dominant cold
     # cost of the entities query)
+    from text2nkg_spark.operators.dedup import exploded_min_md5
+
     ex = sh.select("s", F.explode("sh").alias("g"))
-    minned = ex.groupBy("s").agg(*[
-        F.min(F.md5(F.concat_ws(
-            "|", F.lit(str(seed)), F.lit(str(h)), F.col("g"))
-        )).alias(f"_m{h}")
-        for h in range(num_hashes)])
+    minned = exploded_min_md5(
+        ex, ["s"], "g", num_hashes,
+        lambda h, g: F.concat_ws("|", F.lit(str(seed)), F.lit(str(h)), g))
     sig = sh.join(minned, "s")
     banded = sig.select(
         "s", "sh",
@@ -247,12 +247,17 @@ def canonicalize_entities(
     # lexicographically-min surface, so entity_id doubles as a canonical
     # key and the DuckDB oracle reproduces it with plain string mins
     #
-    # persist the surface stream: three consumers read it (the CC collect/
-    # edge build, the surface->component join, the mention->entity join),
-    # and without a cache each re-evaluates the upstream mention-detection
-    # fold — measured ~2x the whole query's wall at sf0.1
-    mention_surfaces_df = mention_surfaces_df.persist()
-    distinct_surf = mention_surfaces_df.select("surface").distinct().persist()
+    # materialize the surface stream once: three consumers read it (the CC
+    # collect/edge build, the surface->component join, the mention->entity
+    # join), and without it each re-evaluates the upstream
+    # mention-detection fold — measured ~2x the whole query's wall at
+    # sf0.1.  localCheckpoint (not persist): the blocks are released by
+    # the ContextCleaner when the DataFrames go out of scope, where a
+    # plain cache() entry would pin executor storage for the session
+    # (this operator runs ~40x per bench/driver session)
+    mention_surfaces_df = mention_surfaces_df.localCheckpoint()
+    distinct_surf = (
+        mention_surfaces_df.select("surface").distinct().localCheckpoint())
 
     pairs = lsh_candidate_pairs(
         distinct_surf, "surface",

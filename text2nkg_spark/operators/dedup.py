@@ -126,6 +126,29 @@ def exploded_word_ngrams(
     ).where(F.col("_last").isNotNull()).drop("_last")
 
 
+def exploded_min_md5(
+    grams_df: DataFrame,
+    id_cols: list[str],
+    gram_col: str,
+    num_hashes: int,
+    key,
+    alias: str = "_m",
+) -> DataFrame:
+    """Shared exploded minhash shape: one min-md5 aggregate per hash over
+    exploded grams — flat codegen-friendly expressions (the nested-HOF
+    variant both costs seconds of janino work per session and re-inlines
+    its input under CollapseProject).  ``key(h, gram_col)`` builds the
+    seed/hash-prefixed hash input, so the word-shingle and char-shingle
+    minhash families share ONE implementation and cannot silently diverge.
+    Output: id_cols + {alias}0..{alias}{n-1}.
+    """
+    aggs = [
+        F.min(F.md5(key(h, F.col(gram_col)))).alias(f"{alias}{h}")
+        for h in range(num_hashes)
+    ]
+    return grams_df.groupBy(*id_cols).agg(*aggs)
+
+
 def md5_minhash_signatures_exploded(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -145,11 +168,9 @@ def md5_minhash_signatures_exploded(
     Output: (doc_id, sig0..sig{n-1}).
     """
     grams = exploded_word_ngrams(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("gram")))).alias(f"sig{h}")
-        for h in range(num_hashes)
-    ]
-    return grams.groupBy("doc_id").agg(*aggs)
+    return exploded_min_md5(
+        grams, ["doc_id"], "gram", num_hashes,
+        lambda h, g: F.concat(F.lit(f"{h}|"), g), alias="sig")
 
 
 def cap_bucket_width(

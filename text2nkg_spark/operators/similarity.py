@@ -137,10 +137,15 @@ def _plane_projection(vec_col, p: int, seed: int, dim: int | None = None):
 def _dim_guard(vec_col, dim: int | None, expr):
     """With a literal-weight ``dim``, a mismatched vector would silently
     zip against NULL weights and bucket as NULL (rows dropped by the
-    equi-join) — fail loudly instead."""
+    equi-join) — fail loudly instead.  NULL vectors pass through to the
+    expression itself (it evaluates them exactly as the inline-md5 path
+    does), so a dirty row degrades like before instead of aborting the
+    job with a null-message raise."""
     if dim is None:
         return expr
-    return F.when(F.size(vec_col) == dim, expr).otherwise(
+    return F.when(
+        vec_col.isNull() | (F.size(vec_col) == dim), expr
+    ).otherwise(
         F.raise_error(F.concat(
             F.lit(f"hyperplane dim mismatch: expected {dim}, got "),
             F.size(vec_col).cast("string"))))

@@ -218,7 +218,12 @@ def run_pipeline(
         return metrics_table(spark, stage_metrics)
 
     mdf = man.run_stage(
-        spark, "metrics", f"{fp2}|gold={gold is not None}", build_metrics)
+        spark, "metrics",
+        # the NER mode changes which stages exist, so it must be in THIS
+        # resume key too (fp2 deliberately excludes it — it cannot change
+        # predictions — but the metrics table lists stage rows)
+        f"{fp2}|gold={gold is not None}|ner={cfg.use_ner_results}",
+        build_metrics)
 
     out = {
         "sentences": sents, "predictions": preds, "facts": facts,
