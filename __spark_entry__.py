@@ -924,6 +924,38 @@ def q_pack_token_shards(spark, sf_dir):
         F.col("doc_max").cast("long").alias("doc_max"))
 
 
+def _doc_tokens(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    return d.select("lang", F.explode(toks).alias("tok"))
+
+
+def q_sketch_distinct_tokens(spark, sf_dir):
+    """KMV distinct-count sketch (k=16) per language over document tokens,
+    alongside the exact distinct count — the deterministic, mergeable,
+    engine-verifiable alternative to HLL approx_count_distinct."""
+    from text2nkg_spark.operators.sketches import kmv_distinct
+
+    toks = _doc_tokens(spark, sf_dir)
+    est = kmv_distinct(toks, ["lang"], "tok", k=16)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_distinct"))
+    return est.join(exact, "lang").select(
+        "lang", F.col("n_kept").cast("long").alias("n_kept"),
+        "kth_hash", "est_distinct",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"))
+
+
+def q_sketch_bottomk_sample(spark, sf_dir):
+    """Coordinated bottom-k uniform sample (k=8) of tokens per language —
+    stable across reruns, layouts, and engines."""
+    from text2nkg_spark.operators.sketches import bottomk_sample
+
+    return bottomk_sample(
+        _doc_tokens(spark, sf_dir), ["lang"], "tok", k=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload decode + pooled features, projected long-format so
     every output column is a sortable scalar (driver canonicalization)."""
@@ -978,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "pack_token_shards": q_pack_token_shards,
+        "sketch_distinct_tokens": q_sketch_distinct_tokens,
+        "sketch_bottomk_sample": q_sketch_bottomk_sample,
     }
 
 
@@ -1550,6 +1584,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS doc_min,
                    CAST(max(doc_id) AS BIGINT) AS doc_max
             FROM s GROUP BY shard
+        """,
+        "sketch_distinct_tokens": f"""
+            WITH base AS (
+              SELECT lang,
+                     unnest(string_split(regexp_replace(lower(trim(text)),
+                                         '\\s+', ' ', 'g'), ' ')) AS tok
+              FROM documents),
+            dv AS (SELECT DISTINCT lang, tok FROM base),
+            h AS (SELECT lang, tok,
+                         {_hex52_sql("'42|' || tok")} AS h
+                  FROM dv),
+            r AS (SELECT lang, h,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY h, tok) AS rk
+                  FROM h),
+            b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                         max(h) AS kth_hash
+                  FROM r WHERE rk <= 16 GROUP BY lang),
+            e AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+                  FROM dv GROUP BY lang)
+            SELECT lang, n_kept, kth_hash,
+                   CASE WHEN n_kept < 16 THEN n_kept
+                        ELSE CAST(floor(
+                               CAST(67553994410557440 AS DOUBLE)
+                               / CAST(kth_hash AS DOUBLE))
+                             AS BIGINT) END AS est_distinct,
+                   exact_distinct
+            FROM b JOIN e USING (lang)
+        """,
+        "sketch_bottomk_sample": f"""
+            WITH base AS (
+              SELECT lang,
+                     unnest(string_split(regexp_replace(lower(trim(text)),
+                                         '\\s+', ' ', 'g'), ' ')) AS tok
+              FROM documents),
+            dv AS (SELECT DISTINCT lang, tok FROM base),
+            h AS (SELECT lang, tok,
+                         {_hex52_sql("'42|' || tok")} AS h
+                  FROM dv),
+            r AS (SELECT lang, tok,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY h, tok) AS rk
+                  FROM h)
+            SELECT lang, tok, CAST(rk AS INT) AS rank
+            FROM r WHERE rk <= 8
         """,
         "dedup_simhash_pairs": _simhash_oracle_sql(max_hamming=6),
         "similarity_lsh_topk": f"""

@@ -1,0 +1,80 @@
+"""KMV distinct-count + bottom-k coordinated sampling sketches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.operators.sketches import bottomk_sample, kmv_distinct
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    t = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    return d.select("lang", F.explode(t).alias("tok")).cache()
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark, toks):
+    exact = {r.lang: r.n for r in toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("n")).collect()}
+    got = {r.lang: r for r in kmv_distinct(
+        toks, ["lang"], "tok", k=64).collect()}
+    assert set(got) == set(exact)
+    for lang, r in got.items():
+        if exact[lang] < 64:
+            assert r.n_kept == exact[lang] == r.est_distinct
+        else:
+            assert r.n_kept == 64
+            # KMV relative error ~ 1/sqrt(k) = 12.5%; allow 4 sigma
+            assert abs(r.est_distinct - exact[lang]) / exact[lang] < 0.5, (
+                lang, r.est_distinct, exact[lang])
+    # the ESTIMATOR branch, forced: k=8 over >=30-distinct groups
+    small = {r.lang: r for r in kmv_distinct(
+        toks, ["lang"], "tok", k=8).collect()}
+    assert any(exact[lang] >= 8 for lang in small)
+    for lang, r in small.items():
+        if exact[lang] >= 8:
+            assert r.n_kept == 8
+            assert abs(r.est_distinct - exact[lang]) / exact[lang] < 1.5, (
+                lang, r.est_distinct, exact[lang])
+
+
+def test_kmv_stable_across_layouts(spark, toks):
+    a = sorted(map(tuple, kmv_distinct(
+        toks, ["lang"], "tok", k=32).collect()))
+    b = sorted(map(tuple, kmv_distinct(
+        toks.repartition(13, "tok"), ["lang"], "tok", k=32).collect()))
+    assert a == b
+
+
+def test_bottomk_merge_property(spark, toks):
+    """Sketch union semantics: the bottom-k of a UNION equals the bottom-k
+    of the concatenated per-part bottom-k sets — partitions sketch
+    independently and merge without revisiting the data."""
+    half1 = toks.where(F.length("tok") % 2 == 0)
+    half2 = toks.where(F.length("tok") % 2 == 1)
+    k = 8
+    merged_parts = bottomk_sample(half1, ["lang"], "tok", k).select(
+        "lang", "tok").unionByName(
+        bottomk_sample(half2, ["lang"], "tok", k).select("lang", "tok"))
+    resketch = {(r.lang, r.tok) for r in bottomk_sample(
+        merged_parts, ["lang"], "tok", k).collect()}
+    direct = {(r.lang, r.tok) for r in bottomk_sample(
+        toks, ["lang"], "tok", k).collect()}
+    assert resketch == direct
+
+
+def test_bottomk_coordinated_across_tables(spark, toks):
+    """Coordinated sampling: two tables sharing a key space keep the SAME
+    sampled members wherever the key exists in both."""
+    sub = toks.where(F.length("tok") >= 3)  # a 'second table' over the keys
+    a = {(r.lang, r.tok) for r in bottomk_sample(
+        toks, ["lang"], "tok", k=16).collect() if len(r.tok) >= 3}
+    b = {(r.lang, r.tok) for r in bottomk_sample(
+        sub, ["lang"], "tok", k=16).collect()}
+    # dropping rows only PROMOTES survivors in hash order: every full-table
+    # bottom-16 member that satisfies the subset predicate must appear in
+    # the subset's bottom-16 too
+    assert a <= b and len(a) > 0

@@ -1,0 +1,92 @@
+"""Deterministic distinct-count + sampling sketches (KMV / bottom-k).
+
+``approx_count_distinct`` (HyperLogLog) is engine-specific and therefore
+unverifiable across systems; the K-Minimum-Values sketch over md5_hash52
+gives the same O(k) memory / mergeable-union properties with a DETERMINISTIC
+estimate any engine can recompute bit-for-bit — the house rule for every
+hash-derived operator here (see similarity.md5_hash52).
+
+* ``kmv_distinct``  — per-group distinct-count estimate from the k-th
+  smallest hash of the distinct values: est = floor((k-1) * 2^52 / h_k)
+  (the classic KMV estimator over the [0, 2^52) hash space); groups with
+  fewer than k distinct values report their EXACT count (the sketch holds
+  them all).  Exposes h_k so downstream systems can MERGE sketches: the
+  union's bottom-k is the bottom-k of the concatenated bottom-k sets —
+  the property that lets 1000 executors sketch partitions independently
+  and combine without a second pass over the data.
+* ``bottomk_sample`` — the same bottom-k set used as a uniform,
+  coordinated group sample: hash order is data-independent, so the sample
+  is stable across reruns/partitioning AND consistent across tables
+  (two tables' bottom-k sets of a shared key space overlap maximally —
+  coordinated sampling for join estimation).
+
+Both are one hash + one windowed rank per group — no UDFs, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from text2nkg_spark.operators.similarity import md5_hash52
+
+_HASH_SPACE = float(1 << 52)  # md5_hash52 range; exact as a float64
+
+
+def _ranked_hashes(
+    df: DataFrame, group_cols: list[str], value_col: str, seed: int
+) -> DataFrame:
+    """Distinct (group, value) pairs hashed and ranked ascending."""
+    d = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
+    key = F.concat_ws("|", F.lit(str(seed)), F.col("_v").cast("string"))
+    d = d.withColumn("_h", md5_hash52(key))
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    return d.withColumn("_rank", F.row_number().over(w))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch.
+
+    Output: group_cols + (n_kept, kth_hash, est_distinct) — n_kept < k
+    means the group is exact (est = n_kept); otherwise
+    est = floor((k-1) * 2^52 / kth_hash).  All values are integers or the
+    52-bit hash itself, so a DuckDB auditor recomputes every cell.
+    """
+    ranked = _ranked_hashes(df, group_cols, value_col, seed)
+    bottom = ranked.where(F.col("_rank") <= k)
+    agg = bottom.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("kth_hash"),
+    )
+    # single precomputed double literal — (k-1) * 2^52 is exactly
+    # representable for k <= 2048, and one literal sidesteps engines that
+    # parse float constants as DECIMAL (DuckDB overflows the product)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(
+        F.floor(F.lit(float(k - 1) * _HASH_SPACE)
+                / F.col("kth_hash").cast("double")).cast("long"))
+    return agg.withColumn("est_distinct", est)
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group coordinated uniform sample: the k hash-smallest distinct
+    values.  Stable across reruns, layouts, and engines; consistent across
+    tables sharing the key space.  Output: group_cols + (value, rank)."""
+    ranked = _ranked_hashes(df, group_cols, value_col, seed)
+    return (
+        ranked.where(F.col("_rank") <= k)
+        .select(*group_cols, F.col("_v").alias(value_col),
+                F.col("_rank").cast("int").alias("rank"))
+    )
