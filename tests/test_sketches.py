@@ -10,10 +10,10 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def toks(spark):
-    d = spark.read.parquet(f"{SF}/documents.parquet")
-    t = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
-    return d.select("lang", F.explode(t).alias("tok")).cache()
+    # the exact token stream the driver entries sketch — one definition
+    import __spark_entry__ as em
+
+    return em._doc_tokens(spark, SF).cache()
 
 
 def test_kmv_exact_below_k_and_estimates_above(spark, toks):

@@ -20,7 +20,9 @@ hash-derived operator here (see similarity.md5_hash52).
   (two tables' bottom-k sets of a shared key space overlap maximally —
   coordinated sampling for join estimation).
 
-Both are one hash + one windowed rank per group — no UDFs, one shuffle.
+Both are one hash + one windowed rank per group — no UDFs, two keyed
+shuffles (the distinct on (group, value), then the rank window on the
+group alone; the first's distribution cannot satisfy the second).
 """
 
 from __future__ import annotations
@@ -35,8 +37,13 @@ _HASH_SPACE = float(1 << 52)  # md5_hash52 range; exact as a float64
 def _ranked_hashes(
     df: DataFrame, group_cols: list[str], value_col: str, seed: int
 ) -> DataFrame:
-    """Distinct (group, value) pairs hashed and ranked ascending."""
-    d = df.select(*group_cols, F.col(value_col).alias("_v")).distinct()
+    """Distinct (group, value) pairs hashed and ranked ascending.
+
+    NULL values are excluded (matching countDistinct and the oracle's
+    string-concat key, where a NULL yields a NULL hash) — concat_ws would
+    otherwise silently hash a NULL as hash(seed) and count it."""
+    d = (df.select(*group_cols, F.col(value_col).alias("_v"))
+         .where(F.col("_v").isNotNull()).distinct())
     key = F.concat_ws("|", F.lit(str(seed)), F.col("_v").cast("string"))
     d = d.withColumn("_h", md5_hash52(key))
     w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
@@ -57,6 +64,7 @@ def kmv_distinct(
     est = floor((k-1) * 2^52 / kth_hash).  All values are integers or the
     52-bit hash itself, so a DuckDB auditor recomputes every cell.
     """
+    assert k >= 2, "the (k-1)/h_k estimator needs k >= 2"
     ranked = _ranked_hashes(df, group_cols, value_col, seed)
     bottom = ranked.where(F.col("_rank") <= k)
     agg = bottom.groupBy(*group_cols).agg(
