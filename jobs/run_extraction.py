@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--model-checkpoint", default="mini",
                     help="'mini' (numpy encoder) or a HF checkpoint dir "
                          "(torch binds at weight load; see TorchEncoderAdapter)")
+    ap.add_argument("--use-ner-results", action="store_true",
+                    help="input-NER mode (run_re.py --use_ner_results); "
+                         "default = model-argmax NER (the mention_ner "
+                         "stage; cannot change extracted facts either way)")
     ap.add_argument("--format", default="parquet")
     ap.add_argument("--master", default=None)
     ap.add_argument("--synthetic", type=int, default=0,
@@ -69,7 +73,8 @@ def main() -> None:
     out = run_pipeline(
         spark, transcripts, args.output,
         PipelineConfig(scorer=args.scorer, tokenizer=args.tokenizer,
-                       model_checkpoint=args.model_checkpoint))
+                       model_checkpoint=args.model_checkpoint,
+                       use_ner_results=args.use_ner_results))
     stats = {name: df.count() for name, df in out.items()}
     stats["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
