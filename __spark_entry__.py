@@ -956,6 +956,107 @@ def q_sketch_bottomk_sample(spark, sf_dir):
         _doc_tokens(spark, sf_dir), ["lang"], "tok", k=8)
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (no Spark built-in): every click joined to the user's
+    latest purchase at-or-before it — union-tag + one window pass, a
+    single shuffle on the key; the oracle is DuckDB's native ASOF JOIN.
+    All gaps in integer epoch-micros (the events carry sub-second ts)."""
+    from text2nkg_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, ["user_id"], "ts",
+                    payload_cols=["event_id", "ts"],
+                    tiebreak_col="event_id")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("asof_event_id").cast("long").alias("purchase_event_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+        .cast("long").alias("gap_us"),
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Interval self-join |dt| <= 120s via bucket + neighbor-bucket
+    equi-join (never the quadratic theta-join); exact integer-microsecond
+    filter; the oracle runs the plain inequality join."""
+    from text2nkg_spark.operators.temporal import range_pair_counts
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return range_pair_counts(
+        e, delta_us=120_000_000, group_cols=("event_type",),
+        distinct_col="user_id",
+    ).select("event_type", "n_pairs")
+
+
+def q_events_percentiles(spark, sf_dir):
+    """Exact nearest-rank quantiles per event type (p50/p90/p99 of value)
+    — actual data values, zero interpolation, engine-reproducible (unlike
+    percentile_approx's t-digest)."""
+    from text2nkg_spark.operators.sketches import nearest_rank_quantiles
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return nearest_rank_quantiles(
+        e.select("event_type", "value"), ["event_type"], "value",
+        ps=(0.5, 0.9, 0.99),
+    ).select("event_type", "n", "p50", "p90", "p99")
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (reciprocal-df weighting — the
+    one idf form whose scores reproduce bit-for-bit across engines)."""
+    from text2nkg_spark.operators.textstats import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(d.select("doc_id", "text"), k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term", "tf", "df", "rank")
+
+
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN (the second scale path next to hyperplane LSH): corpus
+    partitioned into 8 deterministic cells, queries probe their 2 nearest
+    — integer ranks only (robust driver hashing)."""
+    from text2nkg_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("int").alias("rank"))
+
+
+def _mention_edges(spark, sf_dir):
+    from text2nkg_spark.operators.graph import mention_cooccurrence
+    from text2nkg_spark.operators.mentions import (
+        detect_mentions, mention_surfaces)
+
+    tr = _derived_transcripts(spark, sf_dir)
+    men = mention_surfaces(detect_mentions(tr, predicate=_dict_pred))
+    return mention_cooccurrence(men, "conv_id", "surface")
+
+
+def q_nkg_cooccurrence(spark, sf_dir):
+    """Entity-surface co-occurrence edges (same conversation), the KG
+    analytics view a consumer builds over the mention stream: distinct
+    (conv, surface) first, capped equi-self-join, one agg."""
+    return _mention_edges(spark, sf_dir).select(
+        "surface_a", "surface_b", "n_groups")
+
+
+def q_nkg_entity_degree(spark, sf_dir):
+    """Per-surface degree over the co-occurrence graph."""
+    from text2nkg_spark.operators.graph import cooccurrence_degree
+
+    return cooccurrence_degree(_mention_edges(spark, sf_dir)).select(
+        "surface", "degree", "n_cooccurrences")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload decode + pooled features, projected long-format so
     every output column is a sortable scalar (driver canonicalization)."""
@@ -1012,6 +1113,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_shards": q_pack_token_shards,
         "sketch_distinct_tokens": q_sketch_distinct_tokens,
         "sketch_bottomk_sample": q_sketch_bottomk_sample,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "events_percentiles": q_events_percentiles,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "nkg_cooccurrence": q_nkg_cooccurrence,
+        "nkg_entity_degree": q_nkg_entity_degree,
     }
 
 
@@ -1654,5 +1762,138 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vec_id AS BIGINT) AS vec_id,
                    CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        # as-of join: DuckDB's NATIVE ASOF JOIN is the oracle; the right
+        # side pre-dedupes (user, ts) to max event_id — the same
+        # last-write-wins tiebreak the Spark window encodes
+        "events_asof": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+            r AS (SELECT * FROM events WHERE event_type = 'purchase'
+                  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                             ORDER BY event_id DESC) = 1)
+            SELECT CAST(l.event_id AS BIGINT) AS event_id,
+                   CAST(l.user_id AS BIGINT) AS user_id,
+                   CAST(r.event_id AS BIGINT) AS purchase_event_id,
+                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # range join: the oracle runs the plain inequality theta-join the
+        # Spark side deliberately avoids (bucket + neighbor-bucket)
+        "events_range_join": """
+            SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events a JOIN events b
+              ON a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND a.user_id != b.user_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000
+            GROUP BY a.event_type
+        """,
+        # nearest-rank quantiles: CAST(p AS DOUBLE) everywhere — DuckDB
+        # parses bare 0.9 as DECIMAL, whose exact product disagrees with
+        # the IEEE double product Spark computes at rank boundaries
+        "events_percentiles": """
+            WITH r AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * n)
+                            THEN value END) AS p50,
+                   max(CASE WHEN rn = ceil(CAST(0.9 AS DOUBLE) * n)
+                            THEN value END) AS p90,
+                   max(CASE WHEN rn = ceil(CAST(0.99 AS DOUBLE) * n)
+                            THEN value END) AS p99
+            FROM r GROUP BY event_type
+        """,
+        "text_tfidf_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)),
+                                         '\\s+', ' ', 'g'), ' ')) AS term
+              FROM documents),
+            tok2 AS (SELECT * FROM tok WHERE length(term) >= 3),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok2 GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+            rk AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC,
+                                tf.term) AS rank
+              FROM tf JOIN dfq USING (term))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df,
+                   CAST(rank AS INT) AS rank
+            FROM rk WHERE rank <= 3
+        """,
+        # IVF ANN twin: same KMV-seeded centroids, same one-pass
+        # assignment, same fold order for every float
+        "similarity_ivf_topk": f"""
+            WITH cent0 AS (
+              SELECT vec_id AS sid, embedding AS cv,
+                     {_hex52_sql("CAST(vec_id AS VARCHAR) || '|42'")} AS h
+              FROM embeddings ORDER BY h, sid LIMIT 8),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY h, sid) - 1 AS cell_id,
+                     cv, {_norm_sql('cv')} AS cnorm
+              FROM cent0),
+            corp AS (SELECT vec_id, embedding AS v,
+                            {_norm_sql('embedding')} AS vn
+                     FROM embeddings),
+            cc AS (
+              SELECT vec_id, v, vn, cell_id,
+                     {_dot_sql('v', 'cv')} / (vn * cnorm) AS ccos
+              FROM corp, cent),
+            ca AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY ccos DESC NULLS LAST, cell_id) AS cr
+              FROM cc),
+            cassign AS (SELECT vec_id, v, vn, cell_id FROM ca WHERE cr = 1),
+            qs AS (SELECT vec_id AS query_id, v AS qv, vn AS qn, cell_id
+                   FROM ca WHERE vec_id < 5 AND cr <= 2),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     {_dot_sql('q.qv', 'c.v')} / (q.qn * c.vn) AS cosine
+              FROM qs q JOIN cassign c USING (cell_id)),
+            r AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "nkg_cooccurrence": f"""
+            WITH {_MENTIONS_CTE},
+            gs AS (SELECT DISTINCT conv_id, surface FROM mentions)
+            SELECT a.surface AS surface_a, b.surface AS surface_b,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM gs a JOIN gs b
+              ON a.conv_id = b.conv_id AND a.surface < b.surface
+            GROUP BY a.surface, b.surface
+        """,
+        "nkg_entity_degree": f"""
+            WITH {_MENTIONS_CTE},
+            gs AS (SELECT DISTINCT conv_id, surface FROM mentions),
+            e AS (
+              SELECT a.surface AS surface_a, b.surface AS surface_b,
+                     CAST(count(*) AS BIGINT) AS n_groups
+              FROM gs a JOIN gs b
+                ON a.conv_id = b.conv_id AND a.surface < b.surface
+              GROUP BY a.surface, b.surface),
+            und AS (
+              SELECT surface_a AS surface, n_groups FROM e
+              UNION ALL
+              SELECT surface_b, n_groups FROM e)
+            SELECT surface, CAST(count(*) AS BIGINT) AS degree,
+                   CAST(sum(n_groups) AS BIGINT) AS n_cooccurrences
+            FROM und GROUP BY surface
         """,
     }

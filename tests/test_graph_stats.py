@@ -1,0 +1,166 @@
+"""Graph analytics, TF-IDF keywords, nearest-rank quantiles, IVF ANN."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.operators.graph import (
+    cooccurrence_degree, entity_degree, mention_cooccurrence)
+from text2nkg_spark.operators.similarity import (
+    brute_force_topk, ivf_centroids, ivf_topk)
+from text2nkg_spark.operators.sketches import nearest_rank_quantiles
+from text2nkg_spark.operators.textstats import tfidf_top_terms
+
+
+# ---------------------------------------------------------------- graph
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    rows = [
+        ("c1", "alice"), ("c1", "bob"), ("c1", "carol"),
+        ("c1", "alice"),              # duplicate mention, same conv
+        ("c2", "alice"), ("c2", "bob"),
+        ("c3", "dave"),
+    ]
+    return spark.createDataFrame(rows, "conv_id string, surface string")
+
+
+def test_mention_cooccurrence(mentions):
+    got = {(r.surface_a, r.surface_b): r.n_groups
+           for r in mention_cooccurrence(mentions).collect()}
+    assert got == {("alice", "bob"): 2, ("alice", "carol"): 1,
+                   ("bob", "carol"): 1}
+
+
+def test_cooccurrence_cap(mentions):
+    # width 2 keeps the two lexicographically-first surfaces per conv
+    got = {(r.surface_a, r.surface_b): r.n_groups
+           for r in mention_cooccurrence(
+               mentions, max_group_width=2).collect()}
+    assert got == {("alice", "bob"): 2}
+
+
+def test_cooccurrence_degree(mentions):
+    got = {r.surface: (r.degree, r.n_cooccurrences)
+           for r in cooccurrence_degree(
+               mention_cooccurrence(mentions)).collect()}
+    assert got == {"alice": (2, 3), "bob": (2, 3), "carol": (2, 2)}
+
+
+def test_entity_degree(spark):
+    facts = spark.createDataFrame(
+        [("a", "r1", "x"), ("a", "r1", "y"), ("a", "r2", "x"),
+         ("b", "r1", "x")],
+        "subj string, rel string, obj string")
+    got = {r.subj: (r.n_facts, r.n_rels, r.n_objs)
+           for r in entity_degree(facts).collect()}
+    assert got == {"a": (3, 2, 2), "b": (1, 1, 1)}
+
+
+# ---------------------------------------------------------------- tfidf
+
+def test_tfidf_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "common rare1 common other"),
+         (2, "common other thing"),
+         (3, "common other unique3")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(docs, k=2)
+    top = {r.doc_id: r.term for r in out.where("rank = 1").collect()}
+    # df(common)=3, df(other)=3, df(rare1)=df(thing)=df(unique3)=1
+    assert top == {1: "rare1", 2: "thing", 3: "unique3"}
+    # tf=2/df=3 ("common" in doc 1) beats tf=1/df=3 ("other")
+    r2 = {r.doc_id: r.term for r in out.where("rank = 2").collect()}
+    assert r2[1] == "common"
+
+
+def test_tfidf_min_len_filter(spark):
+    docs = spark.createDataFrame([(1, "ab abc abcd")],
+                                 "doc_id long, text string")
+    terms = {r.term for r in tfidf_top_terms(docs, k=10).collect()}
+    assert terms == {"abc", "abcd"}
+
+
+# ------------------------------------------------------------ quantiles
+
+def _nearest_rank(vals, p):
+    s = sorted(vals)
+    return s[math.ceil(p * len(s)) - 1]
+
+
+def test_nearest_rank_quantiles(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), float(rng.randint(0, 50)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in nearest_rank_quantiles(
+        df, ["g"], "v", ps=(0.5, 0.9, 0.99)).collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        assert out[g]["n"] == len(vals)
+        assert out[g]["p50"] == _nearest_rank(vals, 0.5)
+        assert out[g]["p90"] == _nearest_rank(vals, 0.9)
+        assert out[g]["p99"] == _nearest_rank(vals, 0.99)
+
+
+def test_quantiles_singleton_group(spark):
+    df = spark.createDataFrame([("g", 3.5)], "g string, v double")
+    row = nearest_rank_quantiles(df, ["g"], "v").collect()[0]
+    assert (row.p50, row.p90, row.p99) == (3.5, 3.5, 3.5)
+
+
+# ------------------------------------------------------------------ ivf
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(64, 8)).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(64)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_centroids_deterministic(emb):
+    c1 = ivf_centroids(emb, n_cells=4).collect()
+    c2 = ivf_centroids(emb, n_cells=4).collect()
+    assert sorted(r.cell_id for r in c1) == [0, 1, 2, 3]
+    assert [r.cell_vec for r in sorted(c1, key=lambda r: r.cell_id)] == \
+           [r.cell_vec for r in sorted(c2, key=lambda r: r.cell_id)]
+
+
+def test_ivf_self_query_rank1(emb):
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=1)
+    top1 = {r.query_id: r.vec_id for r in out.where("rank = 1").collect()}
+    # a corpus vector querying itself lands in its own home cell
+    assert top1 == {0: 0, 1: 1, 2: 2}
+    # ranks are dense and unique per query
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in out.collect() if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_probe_recall_monotone(emb):
+    """More probes can only add candidates — recall vs brute force is
+    monotone in n_probe, and full-probe IVF == brute force exactly."""
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(n_probe):
+        got = {(r.query_id, r.vec_id)
+               for r in ivf_topk(emb, queries, k=5, n_cells=4,
+                                 n_probe=n_probe).collect()}
+        return len(got & brute) / len(brute)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 == 1.0  # probing every cell IS the exact search

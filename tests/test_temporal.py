@@ -1,0 +1,111 @@
+"""As-of join + bucketed range join: semantics vs brute force, tie rules,
+and the plan shapes that make them scale (single shuffle / equi-join)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from text2nkg_spark.operators.temporal import asof_join, range_pair_counts
+
+_EPOCH = dt.datetime(2026, 1, 1)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return _EPOCH + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5.0)),   # matches r@5.0 (tie at-or-before)
+         (2, 10, _ts(9.5)),   # matches r@8.0
+         (3, 10, _ts(2.0)),   # before any right row -> NULL
+         (4, 20, _ts(100.0)),  # key with no right rows -> NULL
+         (5, 10, _ts(8.0))],  # exact tie with r@8.0
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(101, 10, _ts(5.0)),
+         (102, 10, _ts(5.0)),   # same (key, ts): max event_id wins
+         (103, 10, _ts(8.0)),
+         (104, 10, _ts(50.0))],  # after every left row
+        "event_id long, user_id long, ts timestamp")
+    return left, right
+
+
+def test_asof_semantics(asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, ["user_id"], "ts",
+                    payload_cols=["event_id"], tiebreak_col="event_id")
+    got = {r["event_id"]: r["asof_event_id"] for r in out.collect()}
+    assert got == {1: 102,   # tie at 5.0; 102 beats 101 (last-write-wins)
+                   2: 103,
+                   3: None,
+                   4: None,
+                   5: 103}   # exact-ts right row matches
+    assert out.count() == left.count()  # left-join row preservation
+
+
+def test_asof_payload_struct(asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, ["user_id"], "ts",
+                    payload_cols=["event_id", "ts"],
+                    tiebreak_col="event_id")
+    row = {r["event_id"]: r for r in out.collect()}
+    assert row[2]["asof_ts"] == _ts(8.0)
+    assert row[3]["asof_ts"] is None
+
+
+def test_asof_single_shuffle(asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, ["user_id"], "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def _brute_pairs(rows, delta_us):
+    n = 0
+    per_type = {}
+    for a in rows:
+        for b in rows:
+            if (a.event_id < b.event_id
+                    and a.event_type == b.event_type
+                    and a.user_id != b.user_id
+                    and abs((a.ts - b.ts).total_seconds() * 1e6) <= delta_us):
+                per_type[a.event_type] = per_type.get(a.event_type, 0) + 1
+                n += 1
+    return per_type
+
+
+@pytest.fixture(scope="module")
+def range_frame(spark):
+    # deterministic spread crossing bucket boundaries; includes the
+    # adversarial case: the EARLIER-ts row has the LARGER id (pair must
+    # still be found exactly once via the probe-up direction)
+    rows = []
+    for i in range(60):
+        rows.append((
+            1000 - i,                      # ids DESCEND as ts ascends
+            i % 7,                         # user
+            "t%d" % (i % 2),               # two types
+            _ts(i * 13.0 + (i % 5) * 0.25),
+        ))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+
+
+@pytest.mark.parametrize("delta_us", [10_000_000, 30_000_000, 90_000_000])
+def test_range_pairs_match_brute_force(range_frame, delta_us):
+    out = range_pair_counts(
+        range_frame, delta_us=delta_us, group_cols=("event_type",),
+        distinct_col="user_id")
+    got = {r["event_type"]: r["n_pairs"] for r in out.collect()}
+    want = _brute_pairs(range_frame.collect(), delta_us)
+    assert got == want
+
+
+def test_range_join_is_equijoin_on_bucket(range_frame):
+    out = range_pair_counts(range_frame, delta_us=30_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the join key must include the bucket — no nested-loop / cartesian
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -249,3 +249,102 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse centroids: the ``n_cells`` corpus vectors
+    with the smallest ``md5_hash52(id | seed)`` — KMV-style coordinated
+    seeding (see operators/sketches.py), so the cell structure is a pure
+    function of (ids, seed): rerun/repartition/engine invariant, and a
+    SQL oracle can rebuild it.  (k-means iterations would sharpen cells
+    but break cross-engine determinism; one seeded assignment pass is the
+    documented trade.)  Output: (cell_id, cell_vec, cell_norm) —
+    ``n_cells`` rows, broadcast-sized by construction.
+    """
+    h = md5_hash52(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+    seeds = (
+        corpus.select(F.col(id_col).alias("_sid"),
+                      F.col(vec_col).alias("cell_vec"),
+                      h.alias("_h"))
+        .orderBy("_h", "_sid")
+        .limit(n_cells)
+    )
+    # n_cells rows post-limit — the unpartitioned window is tiny by
+    # construction, never data-scale
+    w = Window.orderBy("_h", "_sid")
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("cell_id"),
+        "cell_vec",
+        _norm(F.col("cell_vec")).alias("cell_norm"),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its ``n_probe`` nearest cells by cosine to
+    the centroid (rank 1 = the home cell).  The centroid side is
+    broadcast (n_cells rows); the rank window shuffles on the vector id
+    once.  Ties break (cosine desc, cell_id asc) — total order, so the
+    assignment is retry-stable and oracle-reproducible.
+    """
+    x = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                  _norm(F.col(vec_col)).alias("_n"))
+    scored = x.join(F.broadcast(centroids), F.lit(True)).select(
+        "_id", "_v", "_n", "cell_id",
+        (_dot(F.col("_v"), F.col("cell_vec"))
+         / (F.col("_n") * F.col("cell_norm"))).alias("_ccos"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc_nulls_last("_ccos"), F.asc("cell_id"))
+    return scored.withColumn("_crank", F.row_number().over(w)).where(
+        F.col("_crank") <= n_probe)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single home
+    cell; each query probes its ``n_probe`` nearest cells and ranks only
+    within them — the inverted-file ANN pattern (the second scale path
+    next to hyperplane LSH; cells partition the corpus, so the probe join
+    touches ~n_probe/n_cells of it per query).
+
+    Exactly-once candidate generation: the (cell) equi-join is the only
+    corpus contact; ranks are integers with total-order ties.
+    Output: (query_id, vec_id, cosine, rank <= k).
+    """
+    cents = ivf_centroids(corpus, n_cells, seed, id_col, vec_col)
+    c = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        F.col("_id").alias("vec_id"), F.col("_v").alias("cv"),
+        F.col("_n").alias("cn"), "cell_id")
+    q = ivf_assign(queries, cents, n_probe, query_id_col, vec_col).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_n").alias("qn"), "cell_id")
+    scored = q.join(c, "cell_id").select(
+        "query_id", "vec_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k)

@@ -98,3 +98,38 @@ def bottomk_sample(
         .select(*group_cols, F.col("_v").alias(value_col),
                 F.col("_rank").cast("int").alias("rank"))
     )
+
+
+def nearest_rank_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group quantiles by the nearest-rank definition: the value
+    at ordered position ``ceil(p * n)`` (1-based).
+
+    ``percentile_approx`` is engine-specific (t-digest internals differ);
+    nearest-rank returns an ACTUAL data value with zero interpolation
+    arithmetic, so any engine with a window rank reproduces it bit-for-bit
+    — same house rule as the KMV sketch above.  The ceil runs on the same
+    IEEE double product in every engine, so the selected rank agrees.
+
+    One sort-shuffle per group (the rank window), then a conditional-max
+    hash agg; at data scale the window is the cost — for hot groups feed a
+    pre-aggregated (value, count) run-length form instead.
+    Output: group_cols + n + one ``p<nn>`` column per requested quantile.
+    """
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols, F.col(value_col).alias("_v")
+    ).withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn))
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for p in ps:
+        target = F.ceil(F.lit(p) * F.col("_n"))
+        name = f"p{round(p * 100)}"
+        aggs.append(
+            F.max(F.when(F.col("_rn") == target, F.col("_v"))).alias(name))
+    return ranked.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,165 @@
+"""Temporal joins Spark has no built-in operator for, re-expressed
+scale-first (training-data-pipeline ops; no reference analogue — the
+reference is a batch NKG script, see SURVEY.md §2.9).
+
+* ``asof_join`` — for every left row, the latest right row with the same
+  key and ``right.ts <= left.ts`` (classic time-series as-of join).
+  Implemented as union-tag + ONE window ``last(ignorenulls)`` pass:
+  a single shuffle on the join key, no range explosion, no per-row
+  Python, and no O(|L|x|R|) intermediate — the plan a 1000-executor
+  cluster wants.  DuckDB's native ASOF JOIN is the driver oracle.
+* ``range_pair_counts`` — interval self-join ``|ts_a - ts_b| <= delta``
+  via the bucket + neighbor-bucket equi-join pattern: each row lands in
+  bucket ``floor(us / delta)`` and additionally probes ``bucket + 1``,
+  so every qualifying pair is examined exactly once (same-bucket pairs
+  are ordered by id; cross-bucket pairs only ever meet in the probe-up
+  direction).  Work is bounded by per-bucket width x 2, not |T|^2.
+
+All arithmetic runs on integer epoch-MICROSECONDS (``unix_micros`` /
+DuckDB ``epoch_us``): the test events carry sub-second precision, and
+second-truncating functions (``unix_timestamp``) would silently disagree
+with any engine that keeps the fraction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] = ("event_id",),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row joined to the single latest
+    ``right`` row with equal ``key_cols`` and ``right.ts <= left.ts``
+    (NULL payload when no such row exists).
+
+    Semantics pinned for determinism: when several right rows share
+    ``(key, ts)``, the one with the greatest ``tiebreak_col`` (default:
+    the first payload column) wins — callers get last-write-wins, and
+    the DuckDB ASOF oracle reproduces it by pre-deduplicating the right
+    side the same way.
+
+    Plan shape: union-tag both sides, one window sorted by
+    ``(ts, side, tiebreak)`` per key (right rows sort BEFORE left rows at
+    equal ts, so ties match), ``last(payload, ignorenulls=True)`` over
+    the unbounded-preceding frame, keep left rows.  Exactly one Exchange
+    on ``key_cols`` (plan-asserted in tests/test_temporal.py); skewed
+    keys split like any window — salting applies upstream if one key
+    dominates.
+    """
+    key_cols = list(key_cols)
+    payload_cols = list(payload_cols)
+    tb = tiebreak_col or payload_cols[0]
+
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        *key_cols,
+        F.col(ts_col).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.col(tb).alias("_asof_tb"),
+        payload.alias("_asof_payload"),
+    )
+    l_cols = left.columns
+    lt = left.select(
+        *l_cols,
+        F.col(ts_col).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(r.schema["_asof_tb"].dataType).alias("_asof_tb"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType)
+        .alias("_asof_payload"),
+    )
+    u = lt.unionByName(r.select(
+        *key_cols, "_asof_ts", "_asof_side", "_asof_tb", "_asof_payload",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in l_cols if c not in key_cols and c != ts_col],
+        *([F.lit(None).cast(left.schema[ts_col].dataType).alias(ts_col)]
+          if ts_col not in key_cols else []),
+    ))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc("_asof_ts"), F.asc("_asof_side"), F.asc("_asof_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w))
+    out = matched.where(F.col("_asof_side") == 1).select(
+        *l_cols,
+        *[F.col("_asof_match").getField(c).alias(f"asof_{c}")
+          for c in payload_cols],
+    )
+    return out
+
+
+def range_pair_counts(
+    df: DataFrame,
+    delta_us: int,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    group_cols: Sequence[str] = ("event_type",),
+    distinct_col: str | None = "user_id",
+) -> DataFrame:
+    """Count pairs of rows within ``delta_us`` microseconds of each other,
+    per ``group_cols`` (pairs must agree on the group), optionally
+    requiring the pair to DIFFER on ``distinct_col``.
+
+    Bucket + neighbor-bucket shape: with bucket = ``us DIV delta_us``, any
+    qualifying pair's buckets differ by at most 1.  One side explodes to
+    ``[bucket, bucket + 1]`` probes; the equi-join on (group, bucket) then
+    sees every pair exactly once — same-bucket meetings keep only
+    ``probe.id < base.id``, cross-bucket meetings only ever occur with the
+    earlier bucket probing up.  The |dt| filter runs on exact integer
+    microseconds.  Join width is bounded by 2x the widest (group, bucket)
+    population — at 100 TB pick ``delta_us``-proportional bucketing keys
+    or pre-aggregate hot groups; never the |T|^2 theta-join a naive
+    inequality join plans.
+    """
+    group_cols = list(group_cols)
+    # NTZ-tolerant epoch micros: the cast shifts both sides of every
+    # difference identically, so gaps and bucket adjacency are
+    # timezone-invariant (no absolute epoch ever leaves this operator)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {delta_us}")
+        .alias("_bucket"),
+        *([F.col(distinct_col).alias("_dv")] if distinct_col else []),
+    )
+    probe = base.select(
+        *[F.col(c).alias(f"_pg_{c}") for c in group_cols],
+        F.col("_id").alias("_pid"),
+        F.col("_us").alias("_pus"),
+        F.col("_bucket").alias("_pbucket"),
+        *([F.col("_dv").alias("_pdv")] if distinct_col else []),
+        F.explode(F.array(F.col("_bucket"), F.col("_bucket") + 1))
+        .alias("_probe"),
+    )
+    # the bucket is part of the EQUI-join key (with the group columns) —
+    # the whole point: Catalyst plans a hash join on (group, bucket), and
+    # the quadratic never materializes
+    joined = probe.join(
+        base,
+        on=[probe[f"_pg_{c}"] == base[c] for c in group_cols]
+        + [probe["_probe"] == base["_bucket"]],
+        how="inner",
+    ).where(
+        (
+            # same bucket: order by id; probe-up: direction already unique
+            ((F.col("_pbucket") == F.col("_bucket"))
+             & (F.col("_pid") < F.col("_id")))
+            | (F.col("_pbucket") == F.col("_bucket") - 1)
+        )
+        & (F.abs(F.col("_pus") - F.col("_us")) <= F.lit(delta_us))
+    )
+    if distinct_col:
+        joined = joined.where(F.col("_pdv") != F.col("_dv"))
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))

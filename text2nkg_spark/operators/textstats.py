@@ -5,7 +5,7 @@ designed to annotate trillions of documents as a narrow projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
 _STOPWORDS = {
@@ -125,4 +125,42 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
             "fp_xor",
             F.aggregate(grams, F.lit(0).cast("long"),
                         lambda a, h: a.bitwiseXOR(h)))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` keyword terms by TF-IDF with reciprocal-df
+    weighting: score = tf / df (both exact integers; the division is a
+    single IEEE op, so the ranking reproduces bit-for-bit in any engine —
+    log-scaled idf variants are NOT cross-engine stable and monotone
+    transforms of df preserve the per-term ordering anyway).
+
+    Shape: explode -> (doc, term) count -> term document-frequency join ->
+    per-doc rank.  Both aggregates are partial-agg hash groupBys; the
+    df join is a plain shuffle join keyed on the term (broadcast would
+    ship the whole vocabulary).  Ties break on the term string, so the
+    top-k set is total-ordered and retry-stable.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).where(F.length("term") >= min_token_len)
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") / F.col("df")), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df",
+                F.col("rank").cast("int").alias("rank"))
     )
