@@ -1872,7 +1872,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nkg_cooccurrence": f"""
             WITH {_MENTIONS_CTE},
-            gs AS (SELECT DISTINCT conv_id, surface FROM mentions)
+            gsd AS (SELECT DISTINCT conv_id, surface FROM mentions),
+            -- mirror mention_cooccurrence's max_group_width cap (same
+            -- key, same surface order) so a >256-surface conversation
+            -- cannot diverge the engines
+            gs AS (SELECT conv_id, surface FROM gsd
+                   QUALIFY row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY surface) <= 256)
             SELECT a.surface AS surface_a, b.surface AS surface_b,
                    CAST(count(*) AS BIGINT) AS n_groups
             FROM gs a JOIN gs b
@@ -1881,7 +1887,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nkg_entity_degree": f"""
             WITH {_MENTIONS_CTE},
-            gs AS (SELECT DISTINCT conv_id, surface FROM mentions),
+            gsd AS (SELECT DISTINCT conv_id, surface FROM mentions),
+            -- mirror mention_cooccurrence's max_group_width cap (same
+            -- key, same surface order) so a >256-surface conversation
+            -- cannot diverge the engines
+            gs AS (SELECT conv_id, surface FROM gsd
+                   QUALIFY row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY surface) <= 256),
             e AS (
               SELECT a.surface AS surface_a, b.surface AS surface_b,
                      CAST(count(*) AS BIGINT) AS n_groups

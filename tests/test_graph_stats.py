@@ -164,3 +164,33 @@ def test_ivf_probe_recall_monotone(emb):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4
     assert r4 == 1.0  # probing every cell IS the exact search
+
+
+def test_quantiles_ignore_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1.0), ("g", 2.0), ("g", 3.0)],
+        "g string, v double")
+    row = nearest_rank_quantiles(df, ["g"], "v", ps=(0.5,)).collect()[0]
+    # NULL excluded before ranking: n=3, p50 = 2.0 (the NULLS-LAST-engine
+    # answer), never the NULL itself
+    assert row.n == 3 and row.p50 == 2.0
+
+
+def test_quantiles_duplicate_name_guard(spark):
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    # distinct p values whose 6-dp names collide must fail loudly
+    with pytest.raises(ValueError, match="duplicate quantile"):
+        nearest_rank_quantiles(df, ["g"], "v", ps=(0.5, 0.5000000001))
+    # near-misses that USED to collide under integer rounding stay distinct
+    out = nearest_rank_quantiles(df, ["g"], "v", ps=(0.995, 1.0))
+    assert {"p99_5", "p100"} <= set(out.columns)
+
+
+def test_ivf_centroids_skip_null_ids(spark):
+    rows = [(None, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]),
+            (3, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(emb, n_cells=3).collect()
+    assert len(cents) == 3
+    # the NULL-id vector ([1, 0]) must not be a centroid
+    assert all(r.cell_vec != [1.0, 0.0] for r in cents)

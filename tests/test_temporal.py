@@ -109,3 +109,26 @@ def test_range_join_is_equijoin_on_bucket(range_frame):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the join key must include the bucket — no nested-loop / cartesian
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(2.0))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(9, 10, None), (103, 10, _ts(8.0))],
+        "event_id long, user_id long, ts timestamp")
+    out = asof_join(left, right, ["user_id"], "ts",
+                    payload_cols=["event_id"]).collect()
+    # NULL-ts right rows can't satisfy right.ts <= left.ts (matches the
+    # DuckDB ASOF oracle); r@8.0 is after the left row
+    assert out[0]["asof_event_id"] is None
+
+
+def test_asof_null_left_ts_yields_null(spark):
+    left = spark.createDataFrame(
+        [(1, 10, None)], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(103, 10, _ts(8.0))], "event_id long, user_id long, ts timestamp")
+    out = asof_join(left, right, ["user_id"], "ts",
+                    payload_cols=["event_id"]).collect()
+    assert len(out) == 1 and out[0]["asof_event_id"] is None

@@ -69,10 +69,17 @@ def cooccurrence_degree(edges: DataFrame) -> DataFrame:
     list from ``mention_cooccurrence``: ``(surface, degree,
     n_cooccurrences)`` where degree counts distinct neighbors and
     n_cooccurrences sums the edge weights.  One union + one hash agg."""
+    # explode, not unionAll: a union gives the (expensive) edges lineage
+    # two consumers and Spark re-executes it per branch — one exploding
+    # consumer keeps the mention fold + self-join single-pass
     und = edges.select(
-        F.col("surface_a").alias("surface"), "n_groups"
-    ).unionAll(
-        edges.select(F.col("surface_b").alias("surface"), "n_groups"))
+        F.explode(F.array(
+            F.struct(F.col("surface_a").alias("surface"),
+                     F.col("n_groups").alias("n_groups")),
+            F.struct(F.col("surface_b").alias("surface"),
+                     F.col("n_groups").alias("n_groups")),
+        )).alias("_e")
+    ).select("_e.surface", "_e.n_groups")
     return und.groupBy("surface").agg(
         F.count(F.lit(1)).cast("long").alias("degree"),
         F.sum("n_groups").cast("long").alias("n_cooccurrences"),

@@ -268,10 +268,14 @@ def ivf_centroids(
     ``n_cells`` rows, broadcast-sized by construction.
     """
     h = md5_hash52(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+    # NULL ids hash to NULL, which Spark's ascending sort would put FIRST
+    # (instant centroids) while a NULLS-LAST engine never selects them —
+    # exclude them, same guard as sketches._ranked_hashes
     seeds = (
-        corpus.select(F.col(id_col).alias("_sid"),
-                      F.col(vec_col).alias("cell_vec"),
-                      h.alias("_h"))
+        corpus.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("_sid"),
+                F.col(vec_col).alias("cell_vec"),
+                h.alias("_h"))
         .orderBy("_h", "_sid")
         .limit(n_cells)
     )

@@ -122,14 +122,26 @@ def nearest_rank_quantiles(
     """
     w = Window.partitionBy(*group_cols).orderBy("_v")
     wn = Window.partitionBy(*group_cols)
+    # NULLs are not values: excluded BEFORE ranking (n counts non-NULL),
+    # exactly like _ranked_hashes above — Spark sorts NULLS FIRST while
+    # DuckDB defaults NULLS LAST, so an unfiltered NULL would shift every
+    # rank differently per engine (and can itself be "selected")
     ranked = df.select(
         *group_cols, F.col(value_col).alias("_v")
-    ).withColumn("_rn", F.row_number().over(w)).withColumn(
+    ).where(F.col("_v").isNotNull()).withColumn(
+        "_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(wn))
     aggs = [F.max("_n").cast("long").alias("n")]
+    names = set()
     for p in ps:
         target = F.ceil(F.lit(p) * F.col("_n"))
-        name = f"p{round(p * 100)}"
+        # :g after a 6-dp round gives stable names (no banker's-rounding
+        # mislabels); dots become underscores (p12_5)
+        name = "p" + f"{round(p * 100, 6):g}".replace(".", "_")
+        if name in names:
+            raise ValueError(f"duplicate quantile column name {name!r} "
+                             f"for ps={ps}")
+        names.add(name)
         aggs.append(
             F.max(F.when(F.col("_rn") == target, F.col("_v"))).alias(name))
     return ranked.groupBy(*group_cols).agg(*aggs)

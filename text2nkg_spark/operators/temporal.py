@@ -58,6 +58,12 @@ def asof_join(
     payload_cols = list(payload_cols)
     tb = tiebreak_col or payload_cols[0]
 
+    # a NULL right ts can never satisfy right.ts <= left.ts — drop it
+    # BEFORE the window, or Spark's NULLS-FIRST ascending sort would hand
+    # its payload to every otherwise-unmatched left row (DuckDB's ASOF
+    # returns no match for NULL ts; NULL LEFT ts needs no guard: it sorts
+    # first, sees an empty prefix, and yields NULL like the oracle)
+    right = right.where(F.col(ts_col).isNotNull())
     payload = F.struct(*[F.col(c) for c in payload_cols])
     r = right.select(
         *key_cols,
