@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--model-checkpoint", default="mini",
                     help="'mini' (numpy encoder) or a HF checkpoint dir "
                          "(torch binds at weight load; see TorchEncoderAdapter)")
+    ap.add_argument("--model-variant", default="bertsub",
+                    choices=["bertsub", "bertnonersub", "albertsub"],
+                    help="reference model registry (run_re.py:68-72); "
+                         "bertnonersub has no NER head and requires "
+                         "--use-ner-results")
     ap.add_argument("--use-ner-results", action="store_true",
                     help="input-NER mode (run_re.py --use_ner_results); "
                          "default = model-argmax NER (the mention_ner "
@@ -74,6 +79,7 @@ def main() -> None:
         spark, transcripts, args.output,
         PipelineConfig(scorer=args.scorer, tokenizer=args.tokenizer,
                        model_checkpoint=args.model_checkpoint,
+                       model_variant=args.model_variant,
                        use_ner_results=args.use_ner_results))
     stats = {name: df.count() for name, df in out.items()}
     stats["wall_s"] = round(time.time() - t0, 2)

@@ -140,3 +140,64 @@ def test_refine_is_identity_quirk(spark, withner_fixture):
     # the shipped refine never changes a label (pos2ner rebuild), so the
     # 'refined' count equals the original count — quirk preserved
     assert got_bad == {"ner_ori_cor": 2, "ner_cor": 2, "ner_tot_pred": 3}
+
+
+# ------------------------------------------------- M6: model variants
+
+def test_variant_registry_validation():
+    import pytest as _pytest
+
+    from text2nkg_spark.operators.model_scorer import ModelScorer
+
+    with _pytest.raises(ValueError, match="unknown model variant"):
+        ModelScorer(variant="bertbase")
+    with _pytest.raises(ValueError, match="unknown model_variant"):
+        PipelineConfig(model_variant="nope")
+
+
+def test_variants_score_identically(spark):
+    """Relation/qualifier heads are shared across all three registry
+    variants (run_re.py:68-72) — facts must be byte-identical."""
+    from text2nkg_spark.config import DataGenConfig
+    from text2nkg_spark.datagen import gen_transcripts_pdf
+    from text2nkg_spark.operators.extraction import extract_facts_fused
+    from text2nkg_spark.plans.pipeline import (
+        default_label_space, prepare_sentences)
+
+    tr = spark.createDataFrame(gen_transcripts_pdf(
+        DataGenConfig(n_convs=4, turns_per_conv=3, seed=9)))
+    sents = prepare_sentences(tr)
+    space = default_label_space()
+    outs = []
+    for variant in ("bertsub", "bertnonersub", "albertsub"):
+        cfg = PipelineConfig(scorer="model", max_seq_length=64,
+                             max_pair_length=16, model_variant=variant,
+                             use_ner_results=True)
+        outs.append(sorted(
+            map(tuple, extract_facts_fused(sents, cfg, space).collect())))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_noner_variant_rejects_predicted_ner(spark):
+    import pytest as _pytest
+
+    from text2nkg_spark.config import DataGenConfig
+    from text2nkg_spark.datagen import gen_transcripts_pdf
+    from text2nkg_spark.operators.model_scorer import ModelScorer
+    from text2nkg_spark.plans.pipeline import prepare_sentences
+
+    # scorer-level: the NoNer model has no outputs[1]
+    sc = ModelScorer(max_seq_length=64, max_pair_length=16,
+                     variant="bertnonersub")
+    import numpy as np
+    with _pytest.raises(NotImplementedError, match="no NER head"):
+        sc.predict_mention_ner(["a", "b"], np.array([[0, 0]]), 4)
+
+    # plan-level: mention_ner_table fails fast, before any UDF runs
+    tr = spark.createDataFrame(gen_transcripts_pdf(
+        DataGenConfig(n_convs=2, turns_per_conv=2, seed=4)))
+    sents = prepare_sentences(tr)
+    cfg = PipelineConfig(scorer="model", model_variant="bertnonersub",
+                         use_ner_results=False)
+    with _pytest.raises(ValueError, match="bertnonersub"):
+        mention_ner_table(sents, cfg, ["NIL", "PER"])

@@ -70,6 +70,17 @@ class PipelineConfig:
     # a path = HF checkpoint dir, loaded lazily per python worker (torch
     # import happens only at weight-load time)
     model_checkpoint: str = "mini"
+    # M6 — the reference's model registry (run_re.py:68-72):
+    #   'bertsub'       BertForACEBothOneDropoutSub (default; NER head)
+    #   'bertnonersub'  ...NoNer (modeling_bert.py:2933-3010): NO NER head
+    #                   — the reference pairs it with --use_ner_results;
+    #                   predicted-NER mode is a configuration error here
+    #   'albertsub'     AlbertForACEBothOneDropoutSub: same heads over an
+    #                   Albert encoder — with real weights the encoder
+    #                   family resolves from the checkpoint config
+    #                   (AutoModel), so only the head topology differs
+    # Relation/qualifier scoring is identical across variants.
+    model_variant: str = "bertsub"
 
     def __post_init__(self) -> None:
         if self.nary_schema not in ("hyperrelation", "event", "role", "hypergraph"):
@@ -78,6 +89,8 @@ class PipelineConfig:
             raise ValueError(f"unknown tokenizer: {self.tokenizer}")
         if self.scorer not in ("hash", "gold", "model"):
             raise ValueError(f"unknown scorer: {self.scorer}")
+        if self.model_variant not in ("bertsub", "bertnonersub", "albertsub"):
+            raise ValueError(f"unknown model_variant: {self.model_variant}")
 
 
 @dataclass(frozen=True)

@@ -91,11 +91,11 @@ def _worker_model_scorer(cfg: PipelineConfig, space: LabelSpace):
     from text2nkg_spark.operators.model_scorer import ModelScorer
 
     key = (cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
-           space.num_classes)
+           space.num_classes, cfg.model_variant)
     if key not in _WORKER_SCORERS:
         _WORKER_SCORERS[key] = ModelScorer(
             cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
-            space.num_classes)
+            space.num_classes, variant=cfg.model_variant)
     return _WORKER_SCORERS[key]
 
 

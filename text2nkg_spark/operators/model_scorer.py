@@ -346,9 +346,20 @@ class ModelScorer:
     """
 
     def __init__(self, checkpoint: str = "mini", max_seq_length: int = 256,
-                 max_pair_length: int = 32, num_classes: int = 11):
+                 max_pair_length: int = 32, num_classes: int = 11,
+                 variant: str = "bertsub"):
         self.max_seq_length = max_seq_length
         self.max_pair_length = max_pair_length
+        # M6 — variant registry (run_re.py:68-72).  Relation/qualifier
+        # heads are identical across all three; 'bertnonersub' drops the
+        # NER head (modeling_bert.py:2933-3010 has no outputs[1]), and
+        # 'albertsub' only changes the encoder family, which real-weight
+        # loading resolves from the checkpoint config via AutoModel — the
+        # packed-marker wiring and head topology here are unchanged.
+        if variant not in ("bertsub", "bertnonersub", "albertsub"):
+            raise ValueError(f"unknown model variant: {variant}")
+        self.variant = variant
+        self.has_ner_head = variant != "bertnonersub"
         if checkpoint == "mini":
             self.encoder = MiniEncoder(num_classes=num_classes)
         else:
@@ -489,6 +500,11 @@ class ModelScorer:
         leading [CLS]; sub_position = (0, 0) so the CLS state stands in for
         the subject slot.  Chunked at max_pair_length rows for any E.
         """
+        if not self.has_ner_head:
+            raise NotImplementedError(
+                "model variant 'bertnonersub' has no NER head (the "
+                "reference's NoNer model returns no outputs[1]); run with "
+                "use_ner_results=True, as the reference pairs it")
         e = entities.shape[0]
         if e == 0:
             return np.empty(0, dtype=np.int64)

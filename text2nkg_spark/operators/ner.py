@@ -100,4 +100,10 @@ def mention_ner_table(
         if input_ner is not None:
             return input_ner
         return input_ner_table(sents)
+    if cfg.model_variant == "bertnonersub":
+        # fail at plan time, not inside the UDF: the NoNer variant has no
+        # NER head — the reference pairs it with --use_ner_results
+        raise ValueError(
+            "model_variant='bertnonersub' has no NER head; predicted-NER "
+            "mode is unavailable — set use_ner_results=True")
     return predicted_ner_table(sents, cfg, ner_label_list, space=space)

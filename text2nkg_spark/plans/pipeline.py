@@ -130,9 +130,9 @@ def run_pipeline(
     # resume key, or a config change silently serves stale parquet
     fp2 = "|".join(str(x) for x in (
         fp, cfg.scorer, cfg.hash_seed, space.d, cfg.tokenizer,
-        cfg.wordpiece_piece_len, cfg.model_checkpoint, cfg.max_seq_length,
-        cfg.max_pair_length, cfg.same_entity, cfg.log_softmax,
-        cfg.gold_weight))
+        cfg.wordpiece_piece_len, cfg.model_checkpoint, cfg.model_variant,
+        cfg.max_seq_length, cfg.max_pair_length, cfg.same_entity,
+        cfg.log_softmax, cfg.gold_weight))
     preds = man.run_stage(
         spark, "predictions", fp2,
         lambda: extract_facts_fused(sents, cfg, space).withColumn(
