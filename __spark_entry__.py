@@ -1057,6 +1057,40 @@ def q_nkg_entity_degree(spark, sf_dir):
         "surface", "degree", "n_cooccurrences")
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join pruning: the urgent-orders key bloom (1024
+    bits, 3 hashes, md5-derived = engine-reproducible) folds into the
+    lineitem scan as a pure filter — zero shuffle on the big side; exact
+    counts quantify the false-positive cost."""
+    from text2nkg_spark.operators.sketches import (
+        bloom_bitmap, bloom_filter_expr)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.where(
+        F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    # <=32 bitmap words — tiny by construction (this collect IS the
+    # pattern: the small side's bloom ships to the big side's scan)
+    bits = 1 << 18  # sized for ~30k keys at sf0.1 (fill ~0.3): the 8192
+    # bitmap words are 64 KB — still a broadcast-class payload
+    bm = {r["word_idx"]: r["bits"]
+          for r in bloom_bitmap(urgent, "o_orderkey", bits=bits).collect()}
+    words = [bm.get(i, 0) for i in range(bits // 32)]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    passed = li.select(
+        bloom_filter_expr(words, F.col("l_orderkey"), bits=bits).alias("ok"))
+    agg = passed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long")
+        .alias("n_bloom_pass"))
+    true_n = li.join(
+        F.broadcast(urgent), li["l_orderkey"] == urgent["o_orderkey"],
+        "left_semi").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    return agg.crossJoin(true_n).select(
+        "n_probe", "n_bloom_pass", "n_true",
+        (F.col("n_bloom_pass") - F.col("n_true")).cast("long")
+        .alias("n_false_pos"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload decode + pooled features, projected long-format so
     every output column is a sortable scalar (driver canonicalization)."""
@@ -1120,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "nkg_cooccurrence": q_nkg_cooccurrence,
         "nkg_entity_degree": q_nkg_entity_degree,
+        "bloom_semijoin": q_bloom_semijoin,
     }
 
 
@@ -1907,5 +1942,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT surface, CAST(count(*) AS BIGINT) AS degree,
                    CAST(sum(n_groups) AS BIGINT) AS n_cooccurrences
             FROM und GROUP BY surface
+        """,
+        # bloom semi-join: identical md5-derived bit positions, 32-bit
+        # words in BIGINTs (shift < 32 — overflow-free in any engine)
+        "bloom_semijoin": f"""
+            WITH u AS (SELECT o_orderkey AS key FROM orders
+                       WHERE o_orderpriority = '1-URGENT'),
+            pos AS (
+              SELECT unnest([
+                {_hex52_sql("CAST(key AS VARCHAR) || '|0|42'")} % 262144,
+                {_hex52_sql("CAST(key AS VARCHAR) || '|1|42'")} % 262144,
+                {_hex52_sql("CAST(key AS VARCHAR) || '|2|42'")} % 262144
+              ]) AS pos FROM u),
+            bl AS (SELECT CAST(pos // 32 AS INT) AS word_idx,
+                          bit_or(CAST(1 AS BIGINT)
+                                 << CAST(pos % 32 AS INT)) AS bits
+                   FROM pos GROUP BY 1),
+            warr AS (SELECT list(COALESCE(bl.bits, 0) ORDER BY g.i) AS ws
+                     FROM (SELECT unnest(range(0, 8192)) AS i) g
+                     LEFT JOIN bl ON bl.word_idx = g.i),
+            probe AS (
+              SELECT
+                {_hex52_sql("CAST(l_orderkey AS VARCHAR) || '|0|42'")}
+                  % 262144 AS p0,
+                {_hex52_sql("CAST(l_orderkey AS VARCHAR) || '|1|42'")}
+                  % 262144 AS p1,
+                {_hex52_sql("CAST(l_orderkey AS VARCHAR) || '|2|42'")}
+                  % 262144 AS p2,
+                l_orderkey
+              FROM lineitem),
+            flags AS (
+              SELECT l_orderkey,
+                ((ws[CAST(p0 // 32 AS INT) + 1]
+                  & (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INT))) != 0)
+                AND ((ws[CAST(p1 // 32 AS INT) + 1]
+                  & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT))) != 0)
+                AND ((ws[CAST(p2 // 32 AS INT) + 1]
+                  & (CAST(1 AS BIGINT) << CAST(p2 % 32 AS INT))) != 0)
+                  AS ok
+              FROM probe, warr)
+            SELECT CAST(count(*) AS BIGINT) AS n_probe,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_bloom_pass,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                    WHERE l_orderkey IN (SELECT key FROM u)) AS n_true,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END)
+                        - (SELECT count(*) FROM lineitem
+                           WHERE l_orderkey IN (SELECT key FROM u))
+                        AS BIGINT) AS n_false_pos
+            FROM flags
         """,
     }

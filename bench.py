@@ -171,7 +171,7 @@ def main() -> None:
         # republishes the totals on the new set)
         "events_asof", "events_range_join", "events_percentiles",
         "text_tfidf_topk", "similarity_ivf_topk",
-        "nkg_cooccurrence", "nkg_entity_degree",
+        "nkg_cooccurrence", "nkg_entity_degree", "bloom_semijoin",
     ]
     qs = em.queries()
     for name in headline if HEADLINE else []:

@@ -78,3 +78,58 @@ def test_bottomk_coordinated_across_tables(spark, toks):
     # bottom-16 member that satisfies the subset predicate must appear in
     # the subset's bottom-16 too
     assert a <= b and len(a) > 0
+
+
+# --------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sketches import (
+        bloom_bitmap, bloom_filter_expr)
+
+    keys = spark.range(0, 50).select((F.col("id") * 7 + 3).alias("key"))
+    bm = {r.word_idx: r.bits
+          for r in bloom_bitmap(keys, "key", bits=256, k=3).collect()}
+    words = [bm.get(i, 0) for i in range(256 // 32)]
+    # every inserted key must pass
+    n = keys.where(
+        bloom_filter_expr(words, F.col("key"), bits=256, k=3)).count()
+    assert n == 50
+
+
+def test_bloom_bitmap_matches_python_reference(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sketches import bloom_bitmap
+
+    vals = [11, 42, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "key long")
+    got = {r.word_idx: r.bits
+           for r in bloom_bitmap(df, "key", bits=128, k=2).collect()}
+    want: dict[int, int] = {}
+    for v in vals:
+        for i in range(2):
+            h = int(hashlib.md5(f"{v}|{i}|42".encode())
+                    .hexdigest()[:13], 16) % 128
+            want[h // 32] = want.get(h // 32, 0) | (1 << (h % 32))
+    assert got == want
+
+
+def test_bloom_filters_most_nonmembers(spark):
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sketches import (
+        bloom_bitmap, bloom_filter_expr)
+
+    members = spark.range(0, 40).select(F.col("id").alias("key"))
+    bm = {r.word_idx: r.bits
+          for r in bloom_bitmap(members, "key", bits=1024, k=3).collect()}
+    words = [bm.get(i, 0) for i in range(32)]
+    probes = spark.range(10_000, 11_000).select(F.col("id").alias("key"))
+    fp = probes.where(
+        bloom_filter_expr(words, F.col("key"), bits=1024, k=3)).count()
+    # 40 keys in 1024 bits, k=3: theoretical fp ~ (1-e^(-120/1024))^3 ~ 0.1%
+    assert fp < 50

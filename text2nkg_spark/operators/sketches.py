@@ -145,3 +145,73 @@ def nearest_rank_quantiles(
         aggs.append(
             F.max(F.when(F.col("_rn") == target, F.col("_v"))).alias(name))
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+# --------------------------------------------------------------- bloom
+
+def _bloom_positions(key_col, bits: int, k: int, seed: int):
+    """k md5-derived bit positions for a key — deterministic and
+    reproducible in any engine with md5 (same house rule as KMV)."""
+    return [
+        md5_hash52(F.concat(key_col.cast("string"), F.lit(f"|{i}|{seed}")))
+        % F.lit(bits)
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str,
+    bits: int = 1024,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as ``(word_idx, bits)`` rows
+    — ``bits/32`` words of 32 bits each in a BIGINT (shifts stay < 32, so
+    no sign/overflow edge in ANY engine's 64-bit left-shift).
+
+    One explode + one ``bit_or`` hash agg: partial aggregation builds
+    per-partition bitmaps map-side and ORs them in the reduce — exactly
+    how 1000 executors build a bloom over a dimension in one pass.  The
+    output is broadcast-sized by construction (32 rows at 1024 bits),
+    ready to fold into a scan-side filter (``bloom_filter_expr``) — the
+    semi-join-pruning pattern: ship the small side's bloom to the big
+    side's scan and drop non-matching rows before the join shuffle.
+    """
+    assert bits % 32 == 0, "bits must be a multiple of 32"
+    pos = df.select(
+        F.explode(F.array(
+            *_bloom_positions(F.col(key_col), bits, k, seed))).alias("pos"))
+    return (
+        pos.select(
+            (F.col("pos") / 32).cast("int").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("w"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("bits"))
+    )
+
+
+def bloom_filter_expr(
+    words: list[int],
+    key_col,
+    bits: int = 1024,
+    k: int = 3,
+    seed: int = 42,
+):
+    """Membership test as a pure scan-side Column over a driver-collected
+    word array (``words[i]`` = the bitmap word for word_idx i, missing
+    words 0).  Zero shuffle, zero join: the bloom folds into the filter
+    exactly like a pushed-down predicate — false positives possible,
+    false negatives impossible.
+    """
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    # 1 << (p % 32) via a pow2-array lookup: F.shiftleft only takes a
+    # literal shift amount (see similarity._margin_probes)
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    cond = F.lit(True)
+    for p in _bloom_positions(key_col, bits, k, seed):
+        word = F.element_at(arr, (p / 32).cast("int") + 1)
+        bit = F.element_at(pow2, (p % 32).cast("int") + 1)
+        cond = cond & ((word.bitwiseAND(bit)) != 0)
+    return cond
