@@ -1058,23 +1058,19 @@ def q_nkg_entity_degree(spark, sf_dir):
 
 
 def q_bloom_semijoin(spark, sf_dir):
-    """Bloom-filter semi-join pruning: the urgent-orders key bloom (1024
-    bits, 3 hashes, md5-derived = engine-reproducible) folds into the
-    lineitem scan as a pure filter — zero shuffle on the big side; exact
-    counts quantify the false-positive cost."""
+    """Bloom-filter semi-join pruning: the urgent-orders key bloom (2^18
+    bits / 8192 words, 3 hashes, md5-derived = engine-reproducible) folds
+    into the lineitem scan as a pure filter — zero shuffle on the big
+    side; exact counts quantify the false-positive cost."""
     from text2nkg_spark.operators.sketches import (
-        bloom_bitmap, bloom_filter_expr)
+        bloom_filter_expr, bloom_words)
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     urgent = orders.where(
         F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    # <=32 bitmap words — tiny by construction (this collect IS the
-    # pattern: the small side's bloom ships to the big side's scan)
-    bits = 1 << 18  # sized for ~30k keys at sf0.1 (fill ~0.3): the 8192
-    # bitmap words are 64 KB — still a broadcast-class payload
-    bm = {r["word_idx"]: r["bits"]
-          for r in bloom_bitmap(urgent, "o_orderkey", bits=bits).collect()}
-    words = [bm.get(i, 0) for i in range(bits // 32)]
+    bits = 1 << 18  # sized for ~30k keys at sf0.1 (fill ~0.3); the 64 KB
+    # word list is still a broadcast-class payload
+    words = bloom_words(urgent, "o_orderkey", bits=bits)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     passed = li.select(
         bloom_filter_expr(words, F.col("l_orderkey"), bits=bits).alias("ok"))

@@ -167,7 +167,7 @@ def main() -> None:
         "text_langid", "text_token_counts", "text_fingerprint",
         "emb_topk", "emb_neardup", "similarity_lsh_topk",
         "multimodal_features",
-        # round-3 additions (headline set is 22 -> 29 queries; BASELINE.md
+        # round-3 additions (headline set is 22 -> 30 queries; BASELINE.md
         # republishes the totals on the new set)
         "events_asof", "events_range_join", "events_percentiles",
         "text_tfidf_topk", "similarity_ivf_topk",

@@ -181,10 +181,7 @@ def test_variants_score_identically(spark):
 def test_noner_variant_rejects_predicted_ner(spark):
     import pytest as _pytest
 
-    from text2nkg_spark.config import DataGenConfig
-    from text2nkg_spark.datagen import gen_transcripts_pdf
     from text2nkg_spark.operators.model_scorer import ModelScorer
-    from text2nkg_spark.plans.pipeline import prepare_sentences
 
     # scorer-level: the NoNer model has no outputs[1]
     sc = ModelScorer(max_seq_length=64, max_pair_length=16,
@@ -193,11 +190,8 @@ def test_noner_variant_rejects_predicted_ner(spark):
     with _pytest.raises(NotImplementedError, match="no NER head"):
         sc.predict_mention_ner(["a", "b"], np.array([[0, 0]]), 4)
 
-    # plan-level: mention_ner_table fails fast, before any UDF runs
-    tr = spark.createDataFrame(gen_transcripts_pdf(
-        DataGenConfig(n_convs=2, turns_per_conv=2, seed=4)))
-    sents = prepare_sentences(tr)
-    cfg = PipelineConfig(scorer="model", model_variant="bertnonersub",
-                         use_ner_results=False)
+    # config-level: the pairing is unconstructible — covers the CLI,
+    # run_pipeline, and every direct caller at plan time
     with _pytest.raises(ValueError, match="bertnonersub"):
-        mention_ner_table(sents, cfg, ["NIL", "PER"])
+        PipelineConfig(scorer="model", model_variant="bertnonersub",
+                       use_ner_results=False)

@@ -86,12 +86,10 @@ def test_bloom_no_false_negatives(spark):
     from pyspark.sql import functions as F
 
     from text2nkg_spark.operators.sketches import (
-        bloom_bitmap, bloom_filter_expr)
+        bloom_filter_expr, bloom_words)
 
     keys = spark.range(0, 50).select((F.col("id") * 7 + 3).alias("key"))
-    bm = {r.word_idx: r.bits
-          for r in bloom_bitmap(keys, "key", bits=256, k=3).collect()}
-    words = [bm.get(i, 0) for i in range(256 // 32)]
+    words = bloom_words(keys, "key", bits=256, k=3)
     # every inserted key must pass
     n = keys.where(
         bloom_filter_expr(words, F.col("key"), bits=256, k=3)).count()
@@ -122,12 +120,10 @@ def test_bloom_filters_most_nonmembers(spark):
     from pyspark.sql import functions as F
 
     from text2nkg_spark.operators.sketches import (
-        bloom_bitmap, bloom_filter_expr)
+        bloom_filter_expr, bloom_words)
 
     members = spark.range(0, 40).select(F.col("id").alias("key"))
-    bm = {r.word_idx: r.bits
-          for r in bloom_bitmap(members, "key", bits=1024, k=3).collect()}
-    words = [bm.get(i, 0) for i in range(32)]
+    words = bloom_words(members, "key", bits=1024, k=3)
     probes = spark.range(10_000, 11_000).select(F.col("id").alias("key"))
     fp = probes.where(
         bloom_filter_expr(words, F.col("key"), bits=1024, k=3)).count()

@@ -91,6 +91,15 @@ class PipelineConfig:
             raise ValueError(f"unknown scorer: {self.scorer}")
         if self.model_variant not in ("bertsub", "bertnonersub", "albertsub"):
             raise ValueError(f"unknown model_variant: {self.model_variant}")
+        if self.model_variant == "bertnonersub" and not self.use_ner_results:
+            # the one place that covers the CLI, run_pipeline, and direct
+            # predicted_ner_table callers: the NoNer model has no NER head
+            # (no outputs[1]), so predicted-NER mode would die inside an
+            # executor UDF after the expensive stages already ran — the
+            # reference pairs this variant with --use_ner_results
+            raise ValueError(
+                "model_variant='bertnonersub' has no NER head; set "
+                "use_ner_results=True (the reference pairs them)")
 
 
 @dataclass(frozen=True)

@@ -100,10 +100,8 @@ def mention_ner_table(
         if input_ner is not None:
             return input_ner
         return input_ner_table(sents)
-    if cfg.model_variant == "bertnonersub":
-        # fail at plan time, not inside the UDF: the NoNer variant has no
-        # NER head — the reference pairs it with --use_ner_results
-        raise ValueError(
-            "model_variant='bertnonersub' has no NER head; predicted-NER "
-            "mode is unavailable — set use_ner_results=True")
+    # bertnonersub + predicted mode is unconstructible: PipelineConfig
+    # rejects the pairing at __post_init__ (plan-time, covering every
+    # caller); ModelScorer.predict_mention_ner keeps the scorer-level
+    # error for direct use
     return predicted_ner_table(sents, cfg, ner_label_list, space=space)

@@ -179,7 +179,9 @@ def bloom_bitmap(
     side's scan and drop non-matching rows before the join shuffle.
     """
     assert bits % 32 == 0, "bits must be a multiple of 32"
-    pos = df.select(
+    # NULL keys hash to NULL positions -> a spurious (NULL, NULL) row;
+    # excluded like every hash sketch here (see _ranked_hashes)
+    pos = df.where(F.col(key_col).isNotNull()).select(
         F.explode(F.array(
             *_bloom_positions(F.col(key_col), bits, k, seed))).alias("pos"))
     return (
@@ -190,6 +192,22 @@ def bloom_bitmap(
         .groupBy("word_idx")
         .agg(F.bit_or("w").alias("bits"))
     )
+
+
+def bloom_words(
+    df: DataFrame,
+    key_col: str,
+    bits: int = 1024,
+    k: int = 3,
+    seed: int = 42,
+) -> list[int]:
+    """Build the bloom and return it as the dense ``bits/32``-long word
+    list ``bloom_filter_expr`` consumes (missing words filled with 0).
+    This collect IS the pattern: the small side's bloom ships to the big
+    side's scan — the list is bits/8 bytes (64 KB at 2^18 bits)."""
+    bm = {r["word_idx"]: r["bits"]
+          for r in bloom_bitmap(df, key_col, bits, k, seed).collect()}
+    return [bm.get(i, 0) for i in range(bits // 32)]
 
 
 def bloom_filter_expr(
