@@ -173,3 +173,45 @@ def test_simhash_cap_mirrored_by_oracle(spark):
     want = sorted(con.execute(
         em._simhash_oracle_sql(max_hamming=6, max_bucket=10)).fetchall())
     assert got == want and len(got) == 10 * 9 // 2
+
+
+def test_bloom_probe_is_pure_filter(spark):
+    """The bloom folds into the big-side scan: no Join, no Exchange —
+    membership is a literal-array filter expression."""
+    from text2nkg_spark.operators.sketches import bloom_filter_expr
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    words = [0] * 32
+    probe = li.where(bloom_filter_expr(words, F.col("l_orderkey")))
+    p = _plan(probe)
+    assert "Join" not in p and "Exchange" not in p
+
+
+def test_ivf_centroid_side_is_broadcast(spark):
+    """Centroid assignment must never shuffle the corpus against the
+    cells — the n_cells rows broadcast."""
+    from text2nkg_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    p = _plan(ivf_topk(emb, q, k=5, n_cells=4, n_probe=2))
+    assert "Broadcast" in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_plans_hash_join(spark):
+    """The bucketed range join must plan an equi-join on (group, bucket),
+    never a nested-loop over the inequality."""
+    from text2nkg_spark.operators.temporal import range_pair_counts
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    p = _plan(range_pair_counts(e, delta_us=120_000_000))
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_tfidf_reads_only_needed_columns(spark):
+    p = _plan(em.queries()["text_tfidf_topk"](spark, SF))
+    # scan prunes to the two consumed columns
+    assert "lang" not in p and "source" not in p and "n_chars" not in p

@@ -96,3 +96,27 @@ def test_running_conv_stats_final_state(spark, tr_dir, tmp_path_factory):
         F.sum(F.length("text")).alias("n_chars"))
     assert final.exceptAll(want).count() == 0
     assert want.exceptAll(final).count() == 0
+
+
+def test_stream_dedup_within_watermark(spark, tr_dir, tmp_path_factory):
+    """Duplicated input files collapse to the distinct turn set — with
+    state BOUNDED by the watermark horizon, not a forever-growing store."""
+    from text2nkg_spark.streaming.ingest import dedup_turns_within_watermark
+
+    d = tmp_path_factory.mktemp("stream_dedup")
+    dup_dir = str(d / "in")
+    batch = spark.read.parquet(tr_dir)
+    # write the same turns twice -> every row is a duplicate
+    batch.write.mode("overwrite").parquet(dup_dir)
+    batch.write.mode("append").parquet(dup_dir)
+
+    stream = stream_transcripts(spark, dup_dir)
+    deduped = dedup_turns_within_watermark(stream)
+    out_dir = str(d / "out")
+    q = run_to_parquet(deduped, out_dir, str(d / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    n_distinct = batch.select("conv_id", "turn_idx", "text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_distinct

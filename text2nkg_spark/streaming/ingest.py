@@ -122,3 +122,27 @@ def run_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_turns_within_watermark(
+    stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state
+    (``dropDuplicatesWithinWatermark``): duplicate turns arriving within
+    the watermark horizon of each other collapse to one row, and the
+    state store evicts keys older than the horizon — an unbounded stream
+    cannot keep every key forever, so horizon-bounded dedup is the
+    standard scale trade (plain ``dropDuplicates`` on a stream grows
+    state without bound).  Key = (conv_id, turn_idx, md5(text)) — the
+    same content identity the batch ``dedup_exact`` family uses.
+    """
+    keyed = stream.withColumn(
+        "_ck",
+        F.md5(F.concat_ws(
+            "\x01", F.col("conv_id"),
+            F.col("turn_idx").cast("string"), F.col("text"))))
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_ck"])
+        .drop("_ck")
+    )
