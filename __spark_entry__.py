@@ -354,6 +354,85 @@ def q_nkg_gold_compacted(spark, sf_dir):
         F.col("N").cast("int").alias("N"), "canonical_json")
 
 
+def _gold_expected_preds(spark, sf_dir):
+    """The EXPECTED extraction output, rebuilt by pure arithmetic from
+    doc_id (no scorer, no decode) — the independent gold side for the
+    exact-match metrics: byte-identical shape to q_nkg_gold_extract."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    sd = d.cast("string")
+    two = (d % 2).cast("int")
+    surfs = F.array(
+        F.concat(F.lit("ent"), sd, F.lit("a"),
+                 F.when(two == 1, F.concat(F.lit(" ent"), sd, F.lit("b")))
+                 .otherwise(F.lit(""))),
+        F.concat(F.lit("ent"), sd, F.lit("c")),
+        F.concat(F.lit("ent"), sd, F.lit("d")))
+    starts = F.array(F.lit(1).cast("int"), two + 3, two + 5)
+    ends = F.array((two + 1).cast("int"), two + 3, two + 5)
+    p = (d % 6).cast("int")
+    hi = F.element_at(F.array(*[F.lit(x) for x in _PERM_H]), p + 1)
+    ti = F.element_at(F.array(*[F.lit(x) for x in _PERM_T]), p + 1)
+    qi = F.element_at(F.array(*[F.lit(x) for x in _PERM_Q]), p + 1)
+    return docs.select(
+        F.concat(F.lit("conv"), (d % _N_CONVS).cast("string"))
+        .alias("conv_id"),
+        F.floor(d / _N_CONVS).cast("int").alias("turn_idx"),
+        F.lit(0).cast("int").alias("pred_idx"),
+        F.element_at(starts, hi + 1).cast("int").alias("m1s"),
+        F.element_at(ends, hi + 1).cast("int").alias("m1e"),
+        F.element_at(starts, ti + 1).cast("int").alias("m2s"),
+        F.element_at(ends, ti + 1).cast("int").alias("m2e"),
+        F.concat(F.lit("[r]rel_"), (d % 3).cast("string")).alias("rel"),
+        F.element_at(starts, qi + 1).cast("int").alias("m3s"),
+        F.element_at(ends, qi + 1).cast("int").alias("m3e"),
+        F.concat(F.lit("[k]qual_"), two.cast("string")).alias("qual"),
+        F.element_at(surfs, hi + 1).alias("subj"),
+        F.element_at(surfs, ti + 1).alias("obj"),
+        F.element_at(surfs, qi + 1).alias("value"),
+    )
+
+
+def q_nkg_gold_comp_match(spark, sf_dir):
+    """G3/A4 — compaction-level exact-match P/R/F1 (run_re.py:2474-2505):
+    the extracted-then-compacted facts joined against an INDEPENDENTLY
+    arithmetic-derived gold compaction on canonical JSON.  Every count is
+    exact; the oracle states p=r=f1=1 with the doc count."""
+    from text2nkg_spark.operators.facts import compacted_facts, fact_table
+    from text2nkg_spark.operators.metrics import compaction_exact_match
+
+    pred_comp = compacted_facts(fact_table(_gold_extract_preds(spark, sf_dir)))
+    gold_comp = compacted_facts(
+        fact_table(_gold_expected_preds(spark, sf_dir)))
+    m = compaction_exact_match(
+        pred_comp, gold_comp.select("conv_id", "turn_idx", "canonical_json"))
+    return spark.createDataFrame(
+        [(float(m["p_comp"]), float(m["r_comp"]), float(m["f1_comp"]),
+          int(m["correct_comp"]), int(m["num_pred_comp"]),
+          int(m["num_ans_comp"]))],
+        "p_comp double, r_comp double, f1_comp double, "
+        "correct_comp long, num_pred_comp long, num_ans_comp long")
+
+
+def q_nkg_label_vocab(spark, sf_dir):
+    """P5 — label-vocab construction (hyperred_data_process.py:434-448
+    layout: ['None','Entity'] + sorted quals + sorted(rels − quals)) over
+    the gold corpus's relations; ids must match the closed-form oracle."""
+    from text2nkg_spark.operators.ingest_raw import build_label_vocab
+
+    _tr, gold = _gold_oracle_corpus(spark, sf_dir)
+    vocab = build_label_vocab(gold.select("relations"),
+                              rel_prefix="", qual_prefix="")
+    qual_ids = set(vocab["qualifier"])
+    rows = []
+    for name, i in sorted(vocab["id"].items(), key=lambda kv: kv[1]):
+        kind = ("special" if name in ("None", "Entity")
+                else "qualifier" if i in qual_ids else "relation")
+        rows.append((name, int(i), kind))
+    return spark.createDataFrame(
+        rows, "label string, label_id int, kind string")
+
+
 def q_nkg_gold_compacted_conv(spark, sf_dir):
     """G2 conv-level compaction (the literal document-scope run_re.py:2400
     behavior: same-(rel,subj,obj) facts merge across a conversation's
@@ -1117,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_role_extract": _q_gold_multi("role"),
         "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
         "nkg_gold_pruned": q_nkg_gold_pruned,
+        "nkg_gold_comp_match": q_nkg_gold_comp_match,
+        "nkg_label_vocab": q_nkg_label_vocab,
         "nkg_fact_manifest": q_nkg_fact_manifest,
         # relational operator checklist
         "pricing_summary": q_pricing_summary,
@@ -1938,6 +2019,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT surface, CAST(count(*) AS BIGINT) AS degree,
                    CAST(sum(n_groups) AS BIGINT) AS n_cooccurrences
             FROM und GROUP BY surface
+        """,
+        # G3/A4: the gold pipeline's compaction must exactly match the
+        # arithmetic-derived gold compaction — 1.0s with the doc count
+        "nkg_gold_comp_match": """
+            SELECT 1.0 AS p_comp, 1.0 AS r_comp, 1.0 AS f1_comp,
+                   CAST(count(*) AS BIGINT) AS correct_comp,
+                   CAST(count(*) AS BIGINT) AS num_pred_comp,
+                   CAST(count(*) AS BIGINT) AS num_ans_comp
+            FROM documents
+        """,
+        # P5: the label.json layout rule is closed-form over the planted
+        # labels: ['None','Entity'] + sorted quals + sorted(rels - quals)
+        "nkg_label_vocab": """
+            WITH quals AS (
+              SELECT DISTINCT '[k]qual_' || CAST(doc_id % 2 AS VARCHAR)
+                     AS label FROM documents),
+            rels AS (
+              SELECT DISTINCT '[r]rel_' || CAST(doc_id % 3 AS VARCHAR)
+                     AS label FROM documents),
+            ordered AS (
+              SELECT 'None' AS label, 0 AS grp, 'special' AS kind
+              UNION ALL SELECT 'Entity', 1, 'special'
+              UNION ALL SELECT label, 2, 'qualifier' FROM quals
+              UNION ALL SELECT label, 3, 'relation' FROM rels
+                        WHERE label NOT IN (SELECT label FROM quals))
+            SELECT label,
+                   CAST(row_number() OVER (ORDER BY grp, label) - 1 AS INT)
+                     AS label_id,
+                   kind
+            FROM ordered
         """,
         # bloom semi-join: identical md5-derived bit positions, 32-bit
         # words in BIGINTs (shift < 32 — overflow-free in any engine)
