@@ -691,6 +691,44 @@ def q_nkg_fact_manifest(spark, sf_dir):
         ["conv_id", "turn_idx", "rel", "subj", "obj", "qual", "value"])
 
 
+def q_nkg_metrics_table(spark, sf_dir):
+    """S6 — the queryable metrics sink fed from REAL machinery: per-stage
+    rows from the lineage manifest of an actual partitioned fact write
+    (S4/S5) plus the A1-A4 eval block, projected long-format.  Every value
+    is deterministic (counts and exact-1.0 ratios; wall-clock metrics are
+    deliberately excluded), so the oracle states the table closed-form."""
+    import tempfile
+
+    from text2nkg_spark.operators.facts import fact_table
+    from text2nkg_spark.operators.metrics import (
+        metrics_table, relation_qualifier_prf)
+    from text2nkg_spark.plans.manifest import StageManifest, lineage_manifest
+
+    preds = _gold_extract_preds(spark, sf_dir)
+    facts = fact_table(preds).withColumn(
+        "part_id",
+        ((F.col("turn_idx").cast("long") * _N_CONVS
+          + F.substring("conv_id", 5, 10).cast("long")) % 8).cast("int"))
+    man = StageManifest(tempfile.mkdtemp(prefix="nkg_metrics_"))
+    written = man.run_stage(spark, "facts", "gold-corpus",
+                            lambda: facts, partition_by=["part_id"])
+    lm = lineage_manifest(
+        written, "facts", "part_id",
+        ["conv_id", "turn_idx", "rel", "subj", "obj", "qual", "value"])
+    lrow = lm.agg(
+        F.sum("rows").alias("rows_out"),
+        F.count(F.lit(1)).alias("n_partitions")).collect()[0]
+    _tr, gold = _gold_oracle_corpus(spark, sf_dir)
+    m = relation_qualifier_prf(preds, gold)
+    return metrics_table(spark, {
+        "facts": {"rows_out": float(lrow["rows_out"]),
+                  "n_partitions": float(lrow["n_partitions"])},
+        "eval": {k: float(m[k])
+                 for k in ("p", "r", "q_p", "q_r",
+                           "correct_q", "num_q_ans")},
+    })
+
+
 # --------------------------------------------------------------------------
 # relational / standard operators (SURVEY §2.9 checklist) on TPC-H-ish data
 # --------------------------------------------------------------------------
@@ -1199,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_comp_match": q_nkg_gold_comp_match,
         "nkg_label_vocab": q_nkg_label_vocab,
         "nkg_fact_manifest": q_nkg_fact_manifest,
+        "nkg_metrics_table": q_nkg_metrics_table,
         # relational operator checklist
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2019,6 +2058,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT surface, CAST(count(*) AS BIGINT) AS degree,
                    CAST(sum(n_groups) AS BIGINT) AS n_cooccurrences
             FROM und GROUP BY surface
+        """,
+        # S6: the deterministic metrics table, closed-form (8 partitions
+        # by construction of the part_id; one fact per doc; exact 1.0s)
+        "nkg_metrics_table": """
+            WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS c
+                       FROM documents)
+            SELECT 'eval' AS stage, 'correct_q' AS metric, c AS value
+              FROM n
+            UNION ALL SELECT 'eval', 'num_q_ans', c FROM n
+            UNION ALL SELECT 'eval', 'p', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'eval', 'q_p', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'eval', 'q_r', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'eval', 'r', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'facts', 'n_partitions', CAST(8 AS DOUBLE)
+            UNION ALL SELECT 'facts', 'rows_out', c FROM n
         """,
         # G3/A4: the gold pipeline's compaction must exactly match the
         # arithmetic-derived gold compaction — 1.0s with the doc count
