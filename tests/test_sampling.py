@@ -13,7 +13,13 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    # unpersist on teardown: a lingering cache of the raw parquet would
+    # substitute a full-schema InMemoryRelation into every later plan
+    # over the same file, silently defeating the session's plan tests
+    # (column pruning disappears from explain output)
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_deterministic_sample_stable_and_nested(spark, docs):

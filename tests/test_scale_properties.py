@@ -213,5 +213,11 @@ def test_range_join_plans_hash_join(spark):
 
 def test_tfidf_reads_only_needed_columns(spark):
     p = _plan(em.queries()["text_tfidf_topk"](spark, SF))
-    # scan prunes to the two consumed columns
-    assert "lang" not in p and "source" not in p and "n_chars" not in p
+    # scan prunes to the two consumed columns: assert on the ReadSchema
+    # line itself (raw substring checks over the whole plan are brittle —
+    # column names can appear in unrelated plan text)
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas, p
+    for ln in schemas:
+        assert "doc_id" in ln and "text" in ln, ln
+        assert "lang" not in ln and "source" not in ln, ln
