@@ -178,20 +178,17 @@ def test_variants_score_identically(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
-def test_noner_variant_rejects_predicted_ner(spark):
-    import pytest as _pytest
-
+def test_noner_variant_rejects_predicted_ner():
     from text2nkg_spark.operators.model_scorer import ModelScorer
 
     # scorer-level: the NoNer model has no outputs[1]
     sc = ModelScorer(max_seq_length=64, max_pair_length=16,
                      variant="bertnonersub")
-    import numpy as np
-    with _pytest.raises(NotImplementedError, match="no NER head"):
+    with pytest.raises(NotImplementedError, match="no NER head"):
         sc.predict_mention_ner(["a", "b"], np.array([[0, 0]]), 4)
 
     # config-level: the pairing is unconstructible — covers the CLI,
     # run_pipeline, and every direct caller at plan time
-    with _pytest.raises(ValueError, match="bertnonersub"):
+    with pytest.raises(ValueError, match="bertnonersub"):
         PipelineConfig(scorer="model", model_variant="bertnonersub",
                        use_ner_results=False)

@@ -129,3 +129,18 @@ def test_bloom_filters_most_nonmembers(spark):
         bloom_filter_expr(words, F.col("key"), bits=1024, k=3)).count()
     # 40 keys in 1024 bits, k=3: theoretical fp ~ (1-e^(-120/1024))^3 ~ 0.1%
     assert fp < 50
+
+
+def test_bloom_bitmap_drops_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sketches import bloom_bitmap, bloom_words
+
+    df = spark.createDataFrame([(None,), (7,), (9,)], "key long")
+    rows = bloom_bitmap(df, "key", bits=128, k=2).collect()
+    # no spurious (NULL, NULL) row from NULL-key hashes
+    assert all(r.word_idx is not None and r.bits is not None for r in rows)
+    # and the words list equals the bloom over just the non-NULL keys
+    clean = spark.createDataFrame([(7,), (9,)], "key long")
+    assert bloom_words(df, "key", bits=128, k=2) == \
+           bloom_words(clean, "key", bits=128, k=2)

@@ -204,7 +204,7 @@ def bloom_words(
     """Build the bloom and return it as the dense ``bits/32``-long word
     list ``bloom_filter_expr`` consumes (missing words filled with 0).
     This collect IS the pattern: the small side's bloom ships to the big
-    side's scan — the list is bits/8 bytes (64 KB at 2^18 bits)."""
+    side's scan — bits/32 long-typed words = bits/4 bytes (64 KB at 2^18 bits)."""
     bm = {r["word_idx"]: r["bits"]
           for r in bloom_bitmap(df, key_col, bits, k, seed).collect()}
     return [bm.get(i, 0) for i in range(bits // 32)]
