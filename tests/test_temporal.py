@@ -132,3 +132,52 @@ def test_asof_null_left_ts_yields_null(spark):
     out = asof_join(left, right, ["user_id"], "ts",
                     payload_cols=["event_id"]).collect()
     assert len(out) == 1 and out[0]["asof_event_id"] is None
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check against an INDEPENDENT reference: pandas.merge_asof
+    (direction='backward', allow_exact_matches=True) implements exactly
+    this operator's semantics.  Deterministic pseudo-random frames with
+    multi-key, duplicate-ts, and no-match structure."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(123)
+    left_rows = [
+        (i, rng.randint(0, 4), _ts(rng.randint(0, 400) / 4.0))
+        for i in range(120)
+    ]
+    right_rows = [
+        (1000 + i, rng.randint(0, 4), _ts(rng.randint(0, 400) / 4.0))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "event_id long, user_id long, ts timestamp")
+
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(left, right, ["user_id"], "ts",
+                           payload_cols=["event_id"],
+                           tiebreak_col="event_id").collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"])
+    rp = pd.DataFrame(right_rows, columns=["event_id", "user_id", "ts"])
+    # pin the same last-write-wins tie rule: one right row per (key, ts),
+    # keeping the max event_id (merge_asof itself takes the LAST row on
+    # ties, so pre-sorting by event_id makes the rules identical)
+    rp = (rp.sort_values(["user_id", "ts", "event_id"])
+            .drop_duplicates(["user_id", "ts"], keep="last"))
+    merged = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"))
+    want = {
+        int(r.event_id): (None if pd.isna(r.event_id_r)
+                          else int(r.event_id_r))
+        for r in merged.itertuples()
+    }
+    assert got == want

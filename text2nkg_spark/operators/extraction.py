@@ -130,10 +130,18 @@ def _sentence_logits(
 
 
 def _gold_rel_tuples(rels) -> list:
-    """Normalize a gold relations cell (ndarray/list of Row/dict) to tuples."""
+    """Normalize a gold relations cell to tuples.
+
+    Accepts the to_json string contract from prepare_sentences (the fast
+    Arrow path — one string per row instead of nested struct cells) as
+    well as ndarray/list of Row/dict (direct callers and older tests)."""
     out = []
     if rels is None:
         return out
+    if isinstance(rels, str):
+        import json
+
+        rels = json.loads(rels)
     for r in rels:
         d = r if isinstance(r, dict) else r.asDict(recursive=True)
         quals = d["quals"]

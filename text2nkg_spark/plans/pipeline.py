@@ -51,10 +51,21 @@ def prepare_sentences(
     transcripts: DataFrame,
     gold: DataFrame | None = None,
     predicate=None,
+    udf_partitions: int | None = None,
 ) -> DataFrame:
     """Detect mentions and project the flat Arrow-friendly UDF contract
     (text + int span arrays — struct/token arrays double the Arrow
-    conversion cost)."""
+    conversion cost).
+
+    ``udf_partitions``: explicit parallelism for the scoring UDF that
+    consumes this frame.  AQE sizes shuffle partitions by BYTES (64 MB
+    target) — the wrong cost model for a Python-UDF stage, where work is
+    per-ROW: a small gold join collapses to ONE partition and the whole
+    extraction runs single-threaded (measured 1.8x instead of 8x on the
+    oracle corpus).  An explicit repartition pins the count (AQE never
+    coalesces user-specified numPartitions); at data scale the join
+    output is large enough that AQE keeps the parallelism anyway, so
+    callers pass this for small-batch / joined inputs."""
     df = detect_mentions(transcripts, predicate=predicate)
     df = df.select(
         "conv_id", "turn_idx", "text",
@@ -62,12 +73,19 @@ def prepare_sentences(
         F.transform("mentions", lambda m: m["end"]).alias("m_ends"),
     )
     if gold is not None:
+        # ship gold as ONE JSON string per row, not a nested array<struct>:
+        # Arrow->pandas materializes every struct cell into Python dicts
+        # (measured ~1ms/row on the gold corpus — 4x the whole scoring
+        # cost); to_json stays JVM-side and json.loads parses at C speed
         df = df.join(
             gold.select("conv_id", "turn_idx",
-                        F.col("relations").alias("gold_relations")),
+                        F.to_json(F.col("relations"))
+                        .alias("gold_relations")),
             ["conv_id", "turn_idx"],
             "left",
         )
+    if udf_partitions:
+        df = df.repartition(udf_partitions, "conv_id", "turn_idx")
     return df
 
 
@@ -78,8 +96,13 @@ def extract(
     gold: DataFrame | None = None,
 ) -> DataFrame:
     """transcripts -> prediction rows (the fused path)."""
+    gold_in = gold if cfg.scorer == "gold" else None
     sents = prepare_sentences(
-        transcripts, gold if cfg.scorer == "gold" else None)
+        transcripts, gold_in,
+        # the gold join's output is row-cheap/byte-tiny: pin the UDF
+        # parallelism (see prepare_sentences docstring)
+        udf_partitions=cfg.shuffle_partitions if gold_in is not None
+        else None)
     return extract_facts_fused(sents, cfg, space)
 
 
@@ -123,8 +146,12 @@ def run_pipeline(
 
     sents = man.run_stage(
         spark, "sentences", fp,
+        # pin the stage's write parallelism: the parquet this stage emits
+        # becomes the predictions UDF's input splits, and a tiny
+        # AQE-coalesced write (1 file) would single-thread the scorer
         lambda: prepare_sentences(
-            transcripts, gold if cfg.scorer == "gold" else None))
+            transcripts, gold if cfg.scorer == "gold" else None,
+            udf_partitions=cfg.shuffle_partitions))
 
     # every config field that shapes emitted predictions must be in the
     # resume key, or a config change silently serves stale parquet
