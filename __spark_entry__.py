@@ -990,6 +990,21 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster materialization over the simhash pair graph:
+    connected components + keeper election — the keep-list step every
+    dedup pipeline ends with; oracle = recursive-CTE reachability over
+    the identical pair SQL."""
+    from text2nkg_spark.operators.dedup import dedup_clusters, simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_pairs(d, max_hamming=6)
+    return dedup_clusters(pairs, d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_keeper")
+
+
 def q_similarity_lsh_topk(spark, sf_dir):
     """Bucketed ANN top-k; integer ranks only (robust driver hashing)."""
     from text2nkg_spark.operators.similarity import lsh_topk
@@ -1250,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signature": q_dedup_minhash_signature,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_token_counts": q_text_token_counts,
@@ -1890,6 +1906,27 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rk <= 8
         """,
         "dedup_simhash_pairs": _simhash_oracle_sql(max_hamming=6),
+        # cluster twin: the SAME pair SQL as edges, reachability CC
+        # (component = min doc_id), singletons via left join
+        "dedup_clusters": f"""
+            WITH RECURSIVE sp AS ({_simhash_oracle_sql(max_hamming=6)}),
+            und AS (SELECT a AS ea, b AS eb FROM sp
+                    UNION SELECT b, a FROM sp),
+            enodes AS (SELECT DISTINCT ea AS n FROM und),
+            reach(src, dst) AS (
+              SELECT n, n FROM enodes
+              UNION
+              SELECT r.src, e.eb FROM reach r JOIN und e ON r.dst = e.ea),
+            comp AS (SELECT src AS node, min(dst) AS component
+                     FROM reach GROUP BY src),
+            ids AS (SELECT DISTINCT doc_id FROM documents)
+            SELECT CAST(ids.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(comp.component, ids.doc_id) AS BIGINT)
+                     AS cluster_id,
+                   COALESCE(comp.component, ids.doc_id) = ids.doc_id
+                     AS is_keeper
+            FROM ids LEFT JOIN comp ON ids.doc_id = comp.node
+        """,
         "similarity_lsh_topk": f"""
             WITH b AS (
               SELECT vec_id, embedding,

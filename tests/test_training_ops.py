@@ -299,3 +299,22 @@ def test_multimodal_plumbing(spark):
         assert again[r.media_id] == r.feature
     stats = media_metadata_stats(media).collect()
     assert {s.kind for s in stats} == {"image", "audio", "video"}
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.dedup import dedup_clusters
+
+    corpus = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 1-2-3 (transitive closure), pair 5-6, docs 0 and 4 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a long, b long")
+    got = {r.doc_id: (r.cluster_id, r.is_keeper)
+           for r in dedup_clusters(pairs, corpus).collect()}
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False)}
+    # keep-list = exactly one doc per cluster
+    keepers = [d for d, (_c, k) in got.items() if k]
+    assert sorted(keepers) == [0, 1, 4, 5]

@@ -444,3 +444,42 @@ def embedding_cosine_pairs(
             (dot / (F.col("l.nrm") * F.col("r.nrm"))).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Near-duplicate CLUSTER materialization — the step every dedup
+    pipeline ends with: pair edges (from any generator above) -> connected
+    components -> one keeper per cluster.
+
+    Components run on the alternating-star machinery from
+    operators/canonicalize (size-adaptive: driver union-find for small
+    graphs, O(log n) join rounds at scale); docs absent from the pair
+    graph are their own singleton clusters via a left join.  The keeper
+    is the cluster's minimum doc id — deterministic, retry-stable, and
+    reproducible by a recursive-CTE oracle.
+
+    Output: (doc_id, cluster_id, is_keeper) for EVERY corpus doc;
+    filtering ``is_keeper`` is the dedup keep-list, anti-joining it is
+    the drop-list.
+    """
+    from text2nkg_spark.operators.canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    comp = connected_components(edges)
+    ids = corpus.select(F.col(id_col).alias("doc_id")).distinct()
+    out = ids.join(
+        comp.select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id")),
+        "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+         == F.col("doc_id")).alias("is_keeper"))
