@@ -22,8 +22,12 @@ def _plan(df) -> str:
 def test_filter_pushdown_and_column_pruning(spark):
     p = _plan(em.queries()["pricing_summary"](spark, SF))
     assert "LessThanOrEqual(l_shipdate" in p, "filter not pushed to scan"
-    # projection pruned: unused columns absent from ReadSchema
-    assert "l_partkey" not in p and "l_suppkey" not in p
+    # projection pruned: unused columns absent from the ReadSchema lines
+    # (whole-plan substring checks are brittle — see the tfidf test)
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas, p
+    for ln in schemas:
+        assert "l_partkey" not in ln and "l_suppkey" not in ln, ln
 
 
 def test_broadcast_join_for_dimensions(spark):
@@ -220,4 +224,5 @@ def test_tfidf_reads_only_needed_columns(spark):
     assert schemas, p
     for ln in schemas:
         assert "doc_id" in ln and "text" in ln, ln
-        assert "lang" not in ln and "source" not in ln, ln
+        assert ("lang" not in ln and "source" not in ln
+                and "n_chars" not in ln), ln

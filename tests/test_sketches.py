@@ -13,7 +13,9 @@ def toks(spark):
     # the exact token stream the driver entries sketch — one definition
     import __spark_entry__ as em
 
-    return em._doc_tokens(spark, SF).cache()
+    df = em._doc_tokens(spark, SF).cache()
+    yield df
+    df.unpersist()  # lingering caches substitute into later plans
 
 
 def test_kmv_exact_below_k_and_estimates_above(spark, toks):

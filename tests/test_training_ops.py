@@ -252,24 +252,28 @@ def test_margin_probe_planes_match_numpy_argsort(spark, emb):
 
 
 def test_topk_python_oracle(spark, emb):
-    sub = emb.limit(100).cache()
-    queries = sub.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
-    got = brute_force_topk(sub, queries, k=3).collect()
-    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
-            for r in sub.collect()}
-    for qid in {r.query_id for r in got}:
-        q = vecs[qid]
-        cos = {
-            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
-            for vid, v in vecs.items()
-        }
-        want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
-        mine = sorted(
-            [(r.vec_id, r.cosine) for r in got if r.query_id == qid],
-            key=lambda kv: -kv[1])
-        assert [w[0] for w in want] == [m[0] for m in mine]
-        for w, m in zip(want, mine):
-            assert abs(w[1] - m[1]) < 1e-9
+    sub = emb.limit(100).cache()  # unpersisted in the finally below
+    try:
+        queries = sub.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+        got = brute_force_topk(sub, queries, k=3).collect()
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in sub.collect()}
+        for qid in {r.query_id for r in got}:
+            q = vecs[qid]
+            cos = {
+                vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+                for vid, v in vecs.items()
+            }
+            want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            mine = sorted(
+                [(r.vec_id, r.cosine) for r in got if r.query_id == qid],
+                key=lambda kv: -kv[1])
+            assert [w[0] for w in want] == [m[0] for m in mine]
+            for w, m in zip(want, mine):
+                assert abs(w[1] - m[1]) < 1e-9
+
+    finally:
+        sub.unpersist()
 
 
 def test_textstats(spark, docs):
