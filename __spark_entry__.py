@@ -805,6 +805,55 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_orders_grouping_sets(spark, sf_dir):
+    """Mixed GROUPING SETS — the grouping-sets coverage beyond ROLLUP:
+    ((status, priority), (status), ()) with GROUPING ids disambiguating
+    subtotal NULLs (ANSI-portable)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+def q_orders_anti_join(spark, sf_dir):
+    """Left-anti join: customers with no URGENT order — counted per
+    nation so the output is small and exact (every customer has SOME
+    order in this data; the priority predicate makes the anti-set real)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    no_orders = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        no_orders.join(F.broadcast(n),
+                       no_orders["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers")))
+
+
+def q_orders_except_all(spark, sf_dir):
+    """EXCEPT ALL set difference (multiset semantics): urgent orders
+    minus the high-value subset — the regression-diff primitive."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus")
+    big = o.where((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.col("o_totalprice") > 150000)).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus")
+    return urgent.exceptAll(big)
+
+
 def q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1258,6 +1307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
         "orders_rollup": q_orders_rollup,
+        "orders_grouping_sets": q_orders_grouping_sets,
+        "orders_anti_join": q_orders_anti_join,
+        "orders_except_all": q_orders_except_all,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         # training-data ops
@@ -1616,6 +1668,33 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+        """,
+        "orders_anti_join": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY n_name
+        """,
+        "orders_except_all": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT ALL
+            SELECT CAST(o_orderkey AS BIGINT), o_orderstatus
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+                          AND o_totalprice > 150000
         """,
         "events_sessionize": """
             WITH s AS (
