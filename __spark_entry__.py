@@ -854,6 +854,37 @@ def q_orders_except_all(spark, sf_dir):
     return urgent.exceptAll(big)
 
 
+def q_scalar_functions(spark, sf_dir):
+    """Scalar function-library parity sweep (date/string/math) — every
+    expression chosen to be bit-deterministic across engines: date-part
+    extraction (not locale formatting), integer/string ops, IEEE-exact
+    arithmetic; transcendentals (log/exp/trig) are deliberately excluded
+    — libm implementations differ in the last ulp across engines."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.datediff(F.to_date(d), F.lit("2020-01-01").cast("date"))
+        .cast("int").alias("days_since"),
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_u"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.lpad(F.col("o_orderstatus"), 3, "_").alias("status_pad"),
+        F.concat_ws("#", "o_orderstatus",
+                    F.col("o_orderkey").cast("string")).alias("tag"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_diff"),
+        (F.col("o_orderkey") % 7).cast("long").alias("mod7"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floor50k"),
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial").alias("status_word"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1310,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "orders_anti_join": q_orders_anti_join,
         "orders_except_all": q_orders_except_all,
+        "scalar_functions": q_scalar_functions,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         # training-data ops
@@ -1687,6 +1719,29 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY n_name
+        """,
+        "scalar_functions": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   CAST(day(o_orderdate) AS INT) AS dom,
+                   CAST(quarter(o_orderdate) AS INT) AS qtr,
+                   CAST(date_diff('day', DATE '2020-01-01',
+                                  CAST(o_orderdate AS DATE)) AS INT)
+                     AS days_since,
+                   upper(substr(o_orderpriority, 1, 8)) AS prio_u,
+                   CAST(length(o_orderpriority) AS INT) AS prio_len,
+                   lpad(o_orderstatus, 3, '_') AS status_pad,
+                   o_orderstatus || '#' || CAST(o_orderkey AS VARCHAR)
+                     AS tag,
+                   abs(o_totalprice - 100000.0) AS abs_diff,
+                   CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+                   greatest(o_totalprice, CAST(50000.0 AS DOUBLE))
+                     AS floor50k,
+                   CASE o_orderstatus WHEN 'F' THEN 'final'
+                        WHEN 'O' THEN 'open' ELSE 'partial' END
+                     AS status_word
+            FROM orders WHERE o_orderkey < 1000
         """,
         "orders_except_all": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus
