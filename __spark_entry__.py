@@ -885,6 +885,31 @@ def q_scalar_functions(spark, sf_dir):
     )
 
 
+def q_window_functions(spark, sf_dir):
+    """Window-function breadth beyond row_number: ranking, distribution
+    (cume_dist/percent_rank — exact integer-ratio divisions), tiling and
+    frame navigation (lag), all on one keyed window."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("prank"),
+        F.coalesce(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            - F.unix_micros(F.lag("o_orderdate").over(w).cast("timestamp")),
+            F.lit(-1)).cast("long").alias("gap_us"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1342,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_anti_join": q_orders_anti_join,
         "orders_except_all": q_orders_except_all,
         "scalar_functions": q_scalar_functions,
+        "window_functions": q_window_functions,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         # training-data ops
@@ -1719,6 +1745,21 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY n_name
+        """,
+        "window_functions": """
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(row_number() OVER w AS INT) AS rn,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   cume_dist() OVER w AS cume,
+                   percent_rank() OVER w AS prank,
+                   CAST(COALESCE(epoch_us(o_orderdate)
+                        - epoch_us(lag(o_orderdate) OVER w), -1) AS BIGINT)
+                     AS gap_us
+            FROM orders WHERE o_custkey < 200
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
         """,
         "scalar_functions": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
