@@ -256,6 +256,8 @@ def test_topk_python_oracle(spark, emb):
     try:
         queries = sub.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
         got = brute_force_topk(sub, queries, k=3).collect()
+        # non-vacuous: both queries present, k rows each
+        assert {r.query_id for r in got} == {0, 1} and len(got) == 6
         vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
                 for r in sub.collect()}
         for qid in {r.query_id for r in got}:
@@ -267,7 +269,7 @@ def test_topk_python_oracle(spark, emb):
             want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
             mine = sorted(
                 [(r.vec_id, r.cosine) for r in got if r.query_id == qid],
-                key=lambda kv: -kv[1])
+                key=lambda kv: (-kv[1], kv[0]))  # match the operator's tiebreak
             assert [w[0] for w in want] == [m[0] for m in mine]
             for w, m in zip(want, mine):
                 assert abs(w[1] - m[1]) < 1e-9
