@@ -4,11 +4,15 @@ local[$SPARK_GRAFT_CPUS], plus the north-rule scaling evidence: the flagship
 extraction job at local[8] vs local[32] on identical input, reporting
 throughput at both and the N->4N scaling efficiency.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (guaranteed < ~1900 chars so the driver's
+stdout tail-capture can never truncate it):
   {"metric": "...", "value": <total headline sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ...,
    "turns_per_sec": ..., "scaling": {"local8_turns_per_sec": ...,
-   "local32_turns_per_sec": ..., "efficiency_n_to_4n": ...}}
+   "local32_turns_per_sec": ..., "efficiency_n_to_4n": ...,
+   "gate_round_control": ...}}
+Full per-visit / per-round detail is written to BENCH_DETAIL.json next to
+this script.
 """
 
 from __future__ import annotations
@@ -304,7 +308,39 @@ def main() -> None:
         "turns_per_sec": turns_per_sec,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # The driver captures only the tail of stdout (last ~2000 chars) and
+    # parses the JSON there.  r3's single giant line (visits, per-round
+    # detail) overflowed that window and the headline was lost entirely
+    # (`parsed: false`).  So: full detail goes to a FILE (stdout stays
+    # EXACTLY ONE JSON line, per the bench contract); the stdout line is a
+    # compact summary guaranteed to fit the tail capture.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as exc:  # read-only checkout: detail is best-effort
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    compact_scaling = {
+        k: v for k, v in scaling.items()
+        if k in (
+            "efficiency_n_to_4n", "efficiency_4_to_16",
+            "round_efficiencies_4_to_16", "gate_round_control",
+            "efficiency_1_to_4", "round_efficiencies_1_to_4",
+            "local4_turns_per_sec", "local8_turns_per_sec",
+            "local16_turns_per_sec", "local32_turns_per_sec")
+    }
+    if "engine_core" in scaling:
+        compact_scaling["engine_core_eff_4_to_16"] = \
+            scaling["engine_core"]["efficiency_4_to_16"]
+    compact = dict(out)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    compact["scaling"] = compact_scaling
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never overflow the tail capture
+        compact["queries"] = {"total_only": total}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
