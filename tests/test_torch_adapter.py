@@ -150,6 +150,68 @@ def test_adapter_ner_head(fake_torch):
     assert got.shape == (6, cn)
 
 
+def test_adapter_multi_schema_heads(fake_torch):
+    """head_logits loads per-head w_{v,q,qb,qc} linears ((4H, C_head) over
+    concat(h1, h2, hq, hsub)) and hard-errors on absent heads — the
+    event/role q2/q3 classifiers' export contract."""
+    ckpt, _ = fake_torch
+    from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
+
+    c, h = 5, _FakeBertModel.hidden
+    rng = np.random.default_rng(17)
+    heads = {}
+    for name, cw in (("v", 4), ("q", 6), ("qb", 6), ("qc", 6)):
+        heads[f"w_{name}"] = rng.standard_normal((4 * h, cw))
+        heads[f"b_{name}"] = rng.standard_normal(cw)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"),
+             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c),
+             **heads)
+    adapter = TorchEncoderAdapter(ckpt, num_classes=c)
+    h1 = rng.standard_normal((7, h))
+    h2 = rng.standard_normal((7, h))
+    hq = rng.standard_normal((7, h))
+    hsub = rng.standard_normal(h)
+    for hi, (name, cw) in enumerate(
+            (("v", 4), ("q", 6), ("qb", 6), ("qc", 6))):
+        got = adapter.head_logits(h1, h2, hq, hsub, cw, hi)
+        want = np.concatenate(
+            [h1, h2, hq, np.broadcast_to(hsub, h1.shape)],
+            axis=-1) @ heads[f"w_{name}"] + heads[f"b_{name}"]
+        assert got.shape == (7, cw) and np.allclose(got, want)
+
+    # absent multi heads are a hard error (never invented)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"),
+             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c))
+    bare = TorchEncoderAdapter(ckpt, num_classes=c)
+    with pytest.raises(NotImplementedError, match="w_qb"):
+        bare.head_logits(h1, h2, hq, hsub, 6, 2)
+
+
+def test_scorer_multi_on_fake_checkpoint(fake_torch):
+    """score_sentence_multi drives the adapter's multi heads through the
+    packed shapes end to end (a real-checkpoint event/role run)."""
+    ckpt, _ = fake_torch
+    h = _FakeBertModel.hidden
+    rng = np.random.default_rng(19)
+    heads = {}
+    for name, cw in (("v", 4), ("q", 6), ("qb", 6), ("qc", 6)):
+        heads[f"w_{name}"] = rng.standard_normal((4 * h, cw))
+        heads[f"b_{name}"] = rng.standard_normal(cw)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"),
+             w=rng.standard_normal((3 * h, 4)), b=rng.standard_normal(4),
+             **heads)
+    sc = ModelScorer(ckpt, max_seq_length=48, max_pair_length=8,
+                     num_classes=4)
+    ents = np.array([[1, 1], [3, 3], [5, 5]])
+    cand = enumerate_triples(ents, 48)
+    outs = sc.score_sentence_multi(["w"] * 8, ents, cand, (4, 6, 6, 6))
+    assert [o.shape for o in outs] == [(27, 4), (27, 6), (27, 6), (27, 6)]
+    assert all(np.isfinite(o).all() for o in outs)
+    outs2 = sc.score_sentence_multi(["w"] * 8, ents, cand, (4, 6, 6, 6))
+    for a, b in zip(outs, outs2):
+        assert np.array_equal(a, b)
+
+
 def test_scorer_end_to_end_on_fake_checkpoint(fake_torch):
     """ModelScorer drives the adapter through the real packed shapes:
     square masks survive to the forward, marker position_ids carry the

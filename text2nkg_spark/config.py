@@ -56,6 +56,10 @@ class PipelineConfig:
     skew_cost_threshold: int = 1000  # E^3 above which the scoring stage salts
     score_chunk: int = 1024
 
+    # --eval_unidirect ablation (run_re.py:1291, 2652): decode every
+    # candidate ordering on its own raw logits — no 6-permutation ensemble
+    eval_unidirect: bool = False
+
     # M5 — NER label source for the ner table / *_with_ner metrics
     # (run_re.py:1246-1250, argparse default False = model-argmax mode;
     # CANNOT affect emitted facts either way — the reference rebuilds

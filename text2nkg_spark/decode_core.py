@@ -267,6 +267,80 @@ def decode_sentence_arrays(
     return _nms(results, label_list)
 
 
+def decode_sentence_unidirect(
+    entities: np.ndarray,
+    cand: np.ndarray,
+    rel_lg: np.ndarray,    # (N, C) float64
+    q_lg: np.ndarray,      # (N, C) float64
+    space: LabelSpace,
+    same_entity: bool = False,
+) -> list[tuple]:
+    """The ``--eval_unidirect`` ablation decode (run_re.py:1291, 2652): no
+    6-permutation ensemble — every candidate ordering decodes its own raw
+    logits independently (no visited-set collapse, so all 6 orderings of a
+    triple are live candidates), with the same direction normalization and
+    NMS as the ensembled path.  Vectorized over the candidate rows in
+    enumeration order (= the oracle dict's insertion order)."""
+    e = entities.shape[0]
+    n = cand.shape[0]
+    if e == 0 or n == 0:
+        return []
+    ii, jj, kk = cand[:, 1], cand[:, 2], cand[:, 3]
+    pred = np.argmax(rel_lg, axis=-1)
+    q_pred = np.argmax(q_lg, axis=-1)
+
+    spans = [tuple(int(x) for x in row) for row in entities]
+    keep = (pred > 0) & (q_pred > 0)
+    if not same_entity:
+        sp = np.asarray(spans, dtype=np.int64)
+        keep &= (
+            (sp[ii] != sp[jj]).any(axis=1)
+            & (sp[jj] != sp[kk]).any(axis=1)
+            & (sp[kk] != sp[ii]).any(axis=1))
+    rows = np.nonzero(keep)[0]
+    if rows.size == 0:
+        return []
+    a1, a2, a3 = ii[rows].copy(), jj[rows].copy(), kk[rows].copy()
+    pred, q_pred = pred[rows].copy(), q_pred[rows].copy()
+
+    num_label = space.num_label
+    is_k = space.is_k()
+    is_r = space.is_r()
+
+    m = pred >= num_label
+    pred[m] = pred[m] - num_label + 1
+    a1[m], a2[m] = a2[m], a1[m].copy()
+
+    m = q_pred >= num_label
+    t1, t2, t3 = a3[m], a1[m].copy(), a2[m].copy()
+    a1[m], a2[m], a3[m] = t1, t2, t3
+    tmp = pred[m].copy()
+    pred[m] = q_pred[m] - num_label + 1
+    q_pred[m] = tmp
+
+    m = is_k[pred]
+    drop = m & is_k[q_pred]
+    m = m & ~drop
+    a2[m], a3[m] = a3[m], a2[m].copy()
+    tmp = pred[m].copy()
+    pred[m] = q_pred[m]
+    q_pred[m] = tmp
+
+    drop = drop | (is_r[pred] & is_r[q_pred])
+    ok = ~drop
+    if not ok.any():
+        return []
+
+    sc = rel_lg[rows, pred]
+    qsc = q_lg[rows, q_pred]
+    results = [
+        (float(sc[t]), spans[a1[t]], spans[a2[t]], int(pred[t]),
+         float(qsc[t]), spans[a3[t]], int(q_pred[t]))
+        for t in np.nonzero(ok)[0]
+    ]
+    return _nms(results, space.label_list)
+
+
 def decode_sentence(
     entities: np.ndarray,
     cand: np.ndarray,
@@ -275,9 +349,14 @@ def decode_sentence(
     space: LabelSpace,
     same_entity: bool = False,
     strict: bool = True,
+    unidirect: bool = False,
 ) -> list[tuple]:
     """Dispatcher: vectorized fast path when its preconditions hold
-    (same_entity off + full candidate grid), reference loop otherwise."""
+    (same_entity off + full candidate grid), reference loop otherwise;
+    ``unidirect=True`` selects the no-ensemble ablation decode."""
+    if unidirect:
+        return decode_sentence_unidirect(
+            entities, cand, rel_lg, q_lg, space, same_entity)
     if not same_entity:
         return decode_sentence_fast(entities, cand, rel_lg, q_lg, space, strict)
     return decode_sentence_arrays(

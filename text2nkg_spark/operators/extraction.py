@@ -275,7 +275,7 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                         cfg, space, doc_id, turn_idx, cand, gold, ents, toks)
                 preds = decode_sentence(
                     ents, cand, rel_lg, q_lg, space, cfg.same_entity,
-                    strict=strict)
+                    strict=strict, unidirect=cfg.eval_unidirect)
                 if not preds:
                     continue
                 tokens = (text_col[r].split(" ") if flat
@@ -429,7 +429,8 @@ def decode_scores(cand_df, cfg: PipelineConfig, space: LabelSpace):
         ents[cand[:, 2], 1] = cand[:, 7]
         preds = decode_sentence(
             ents, cand, rel_lg, q_lg, space, cfg.same_entity,
-            strict=(cfg.tokenizer == "identity"))
+            strict=(cfg.tokenizer == "identity"),
+            unidirect=cfg.eval_unidirect)
         rows = [
             (conv_id, turn_idx, pi, *p[:8], p[8], p[9])
             for pi, p in enumerate(preds)

@@ -48,22 +48,33 @@ class SchemaLabels:
 
 
 def labels_from_normalized(norm_df, schema: str) -> SchemaLabels:
-    """Distinct relation + qualifier/role labels from a normalized corpus."""
+    """Distinct relation + qualifier/role labels from a normalized corpus.
+
+    ONE Spark job: the four label streams (rel, qual labels, role_h,
+    role_t) project off the same exploded lineage and union into a single
+    distinct — not four separate collect()s (the vocab is tiny, but four
+    full corpus scans for it were still four jobs)."""
     from pyspark.sql import functions as F
 
     x = norm_df.select(F.explode("relations").alias("x"))
-    rels = sorted(
-        r[0] for r in x.select(F.col("x.rel")).distinct().collect())
-    quals = set(
-        r[0]
-        for r in x.select(F.explode("x.quals").alias("q"))
-        .select(F.col("q.label")).distinct().collect() if r[0] is not None)
+    streams = [
+        x.select(F.col("x.rel").alias("lab"), F.lit("rel").alias("kind"))]
+    # quals is array<struct>; .label projects the array of labels
+    streams.append(
+        x.select(F.explode(F.col("x.quals.label")).alias("lab"),
+                 F.lit("qual").alias("kind")))
     if schema in ("event", "role"):
-        quals |= {r[0] for r in x.select(F.col("x.role_h")).distinct().collect()
-                  if r[0] is not None}
+        streams.append(x.select(
+            F.col("x.role_h").alias("lab"), F.lit("qual").alias("kind")))
     if schema == "event":
-        quals |= {r[0] for r in x.select(F.col("x.role_t")).distinct().collect()
-                  if r[0] is not None}
+        streams.append(x.select(
+            F.col("x.role_t").alias("lab"), F.lit("qual").alias("kind")))
+    labs = streams[0]
+    for s in streams[1:]:
+        labs = labs.unionByName(s)
+    rows = labs.where(F.col("lab").isNotNull()).distinct().collect()
+    rels = sorted({r["lab"] for r in rows if r["kind"] == "rel"})
+    quals = {r["lab"] for r in rows if r["kind"] == "qual"}
     if schema == "role":
         # role's 'rel' slot holds the T-mention's role — all role-schema
         # labels live in the single q_label space (run_re.py:399-430)
@@ -96,6 +107,22 @@ def _rel_cell_to_dicts(cell) -> list[dict]:
     return out
 
 
+def _worker_scorer_multi(cfg: PipelineConfig):
+    """One ModelScorer per python worker for the multi-schema path — shares
+    the executor-local cache with the hyperrelation scorer (weights load
+    once per worker, never broadcast through the driver)."""
+    from text2nkg_spark.operators.extraction import _WORKER_SCORERS
+    from text2nkg_spark.operators.model_scorer import ModelScorer
+
+    key = (cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
+           "multi", cfg.model_variant)
+    if key not in _WORKER_SCORERS:
+        _WORKER_SCORERS[key] = ModelScorer(
+            cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
+            variant=cfg.model_variant)
+    return _WORKER_SCORERS[key]
+
+
 def score_heads(
     schema: str,
     cfg: PipelineConfig,
@@ -104,30 +131,46 @@ def score_heads(
     sent_idx: int,
     cand: np.ndarray,
     gold_rels: list[dict] | None,
+    ents: np.ndarray | None = None,
+    tokens: list[str] | None = None,
 ) -> dict[str, np.ndarray]:
-    """Per-candidate logits for each head (hash noise; + gold one-hots)."""
+    """Per-candidate logits for each head: hash noise (+ gold one-hots for
+    scorer='gold'), or the packed-marker model heads for scorer='model' —
+    the q2/q3 qualifier classifiers the event/role models add on top of
+    hyperrelation's two (modeling_bert.py:2327-2335)."""
     triples = cand[:, 4:10]
     n = triples.shape[0]
-    heads: dict[str, np.ndarray] = {}
     n_heads = _N_HEADS[schema]
-    docs = np.full(n, doc_id, dtype=np.int64)
-    sents = np.full(n, sent_idx, dtype=np.int64)
-    for hi in range(n_heads):
-        c = head_width(schema, hi, labels)
-        heads[_HEAD_NAMES[hi]] = hash_logits_batch(
-            docs, sents, triples, c, cfg.hash_seed, hi).astype(np.float64)
-    if cfg.scorer == "gold":
-        lm = {lab: i for i, lab in enumerate(labels.label_list)}
-        qm = {lab: i for i, lab in enumerate(labels.q_label_list)}
-        gi = gold_orderings_multi(schema, gold_rels or [], lm, qm)
-        w = cfg.gold_weight
-        for r in range(n):
-            key = tuple(int(v) for v in triples[r])
-            labs = gi.get(key)
-            if labs is None:
-                labs = (0,) * n_heads
-            for hi in range(n_heads):
-                heads[_HEAD_NAMES[hi]][r, labs[hi]] += w
+    widths = tuple(head_width(schema, hi, labels) for hi in range(n_heads))
+    heads: dict[str, np.ndarray] = {}
+    if cfg.scorer == "model":
+        if ents is None:
+            raise ValueError("scorer='model' needs entity spans and tokens")
+        outs = _worker_scorer_multi(cfg).score_sentence_multi(
+            list(tokens or []), ents, cand, widths)
+        for hi in range(n_heads):
+            heads[_HEAD_NAMES[hi]] = outs[hi].astype(np.float64)
+    elif cfg.scorer in ("hash", "gold"):
+        docs = np.full(n, doc_id, dtype=np.int64)
+        sents = np.full(n, sent_idx, dtype=np.int64)
+        for hi in range(n_heads):
+            heads[_HEAD_NAMES[hi]] = hash_logits_batch(
+                docs, sents, triples, widths[hi], cfg.hash_seed,
+                hi).astype(np.float64)
+        if cfg.scorer == "gold":
+            lm = {lab: i for i, lab in enumerate(labels.label_list)}
+            qm = {lab: i for i, lab in enumerate(labels.q_label_list)}
+            gi = gold_orderings_multi(schema, gold_rels or [], lm, qm)
+            w = cfg.gold_weight
+            for r in range(n):
+                key = tuple(int(v) for v in triples[r])
+                labs = gi.get(key)
+                if labs is None:
+                    labs = (0,) * n_heads
+                for hi in range(n_heads):
+                    heads[_HEAD_NAMES[hi]][r, labs[hi]] += w
+    else:
+        raise NotImplementedError(f"unknown scorer '{cfg.scorer}'")
     if cfg.log_softmax:
         heads = {k: log_softmax(v) for k, v in heads.items()}
     return heads
@@ -193,8 +236,11 @@ def extract_facts_multi(norm_df, schema: str, cfg: PipelineConfig,
                     continue
                 gold = (_rel_cell_to_dicts(pdf["relations"].iat[r])
                         if cfg.scorer == "gold" else None)
+                toks = (list(pdf["tokens"].iat[r])
+                        if cfg.scorer == "model" else None)
                 heads = score_heads(
-                    schema, cfg, labels, doc_id, sent_idx, cand, gold)
+                    schema, cfg, labels, doc_id, sent_idx, cand, gold,
+                    ents=ents, tokens=toks)
                 preds = decode_sentence_multi(
                     schema, ents, cand, heads, labels.label_list,
                     labels.q_label_list, cfg.same_entity)

@@ -48,6 +48,11 @@ MARKER_L_ID, MARKER_R_ID = 3, 4
 PAD_ID = 0
 CLS_ID, SEP_ID = 101, 102
 
+# multi-schema head order — matches extraction_multi._HEAD_NAMES and the
+# reference's output tuple order per schema (modeling_bert.py:2337-2386):
+# v = relation head, q/qb/qc = the m3/m1/m2 qualifier heads
+MULTI_HEAD_NAMES = ("v", "q", "qb", "qc")
+
 
 def chunk_candidates(n_candidates: int, max_pair_length: int = 32) -> list[tuple[int, int]]:
     """[lo, hi) chunks of max_pair_length^2 candidates (run_re.py:563-586)."""
@@ -240,6 +245,26 @@ class MiniEncoder:
         grid = splitmix64(key[..., None] ^ splitmix64(c))
         return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
 
+    def head_logits(self, h1: np.ndarray, h2: np.ndarray, hq: np.ndarray,
+                    hsub: np.ndarray, num_classes: int,
+                    head_idx: int) -> np.ndarray:
+        """Multi-schema n-ary heads (v/q/qb/qc): the event/role models
+        carry EXTRA qualifier classifiers q2/q3 beyond hyperrelation's two
+        (modeling_bert.py:2327-2335 — q2_re_classifier_m1..m3,
+        q3_re_classifier_m1..m3), each its own linear layer over the same
+        (subject, object-pair, qualifier-pair) states.  Here: one salted
+        deterministic head per index, consuming ALL FOUR states so any
+        wiring bug (wrong marker, swapped qualifier) changes the output."""
+        from text2nkg_spark.scoring_core import splitmix64
+
+        c = np.arange(num_classes, dtype=np.int64).astype(np.uint64)
+        feats = (h1 * 3.0 + h2 * 5.0 + hq * 17.0 + hsub * 7.0).sum(axis=-1)
+        key = splitmix64(
+            (feats * 1e6).astype(np.int64).astype(np.uint64)
+            ^ splitmix64(np.uint64(0xA5A5_0000 + head_idx)))
+        grid = splitmix64(key[..., None] ^ splitmix64(c))
+        return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
+
 
 class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
     # tests/test_torch_adapter.py; only the genuine HF forward is untestable
@@ -283,6 +308,14 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         # here like the relation heads — never re-read in the scoring loop
         self.ner_w = head["ner_w"] if "ner_w" in head else None
         self.ner_b = head["ner_b"] if "ner_b" in head else None
+        # multi-schema n-ary heads (v/q/qb/qc — the reference's per-schema
+        # re/q_re/q2_re/q3_re classifier triples, modeling_bert.py:
+        # 2313-2335, exported pre-summed over m1/m2/m3 to one linear per
+        # head): optional keys w_v/b_v .. w_qc/b_qc, shape (4H, C_head)
+        self.multi_heads = {
+            name: (head[f"w_{name}"], head[f"b_{name}"])
+            for name in MULTI_HEAD_NAMES
+            if f"w_{name}" in head and f"b_{name}" in head}
 
     def encode(self, ids: np.ndarray, att: np.ndarray,
                pos: np.ndarray) -> np.ndarray:
@@ -319,6 +352,28 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
                 "export the reference's ner classifier to use "
                 "predicted-NER mode with a real checkpoint")
         out = np.concatenate([h1, h2], axis=-1) @ self.ner_w + self.ner_b
+        assert out.shape[-1] == num_classes
+        return out
+
+    def head_logits(self, h1: np.ndarray, h2: np.ndarray, hq: np.ndarray,
+                    hsub: np.ndarray, num_classes: int,
+                    head_idx: int) -> np.ndarray:
+        """Multi-schema n-ary head: linear over the concatenated
+        (object-left, object-right, qualifier, subject) states, weights
+        from ``w_{name}``/``b_{name}`` in nary_heads.npz (name in v/q/qb/qc
+        — the reference's re/q_re/q2_re/q3_re classifiers,
+        modeling_bert.py:2313-2335).  Absent keys are a hard error: fake
+        head weights would mean confidently-wrong facts."""
+        name = MULTI_HEAD_NAMES[head_idx]
+        if name not in self.multi_heads:
+            raise NotImplementedError(
+                f"no multi-schema head weights (w_{name}/b_{name}) in "
+                f"{self._head_path}; export the reference's per-schema "
+                "classifier heads — see TorchEncoderAdapter docstring")
+        w, b = self.multi_heads[name]
+        feats = np.concatenate(
+            [h1, h2, hq, np.broadcast_to(hsub, h1.shape)], axis=-1)
+        out = feats @ w + b
         assert out.shape[-1] == num_classes
         return out
 
@@ -418,26 +473,20 @@ class ModelScorer:
             np.stack([b.attention_mask for b in packed]),
             np.stack([b.position_ids for b in packed]))
 
-    def score_sentence(
-        self, tokens: list[str], entities: np.ndarray, cand: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
+    def _build_examples(self, tokens: list[str], entities: np.ndarray,
+                        cand: np.ndarray) -> list[tuple]:
+        """Phase 1 — lightweight descriptors only (token ids + span
+        slices); the heavy tensors (the (T, T) masks) are packed lazily per
+        chunk in phase 2, so peak memory is batch_examples masks — not one
+        per example, which at E=128 entities would hold ~GBs of masks
+        alive.  Returns (ids, sub_position, spans, sel, ju, ku) tuples."""
         e = entities.shape[0]
-        n = cand.shape[0]
-        c = self.encoder.num_classes
-        rel = np.zeros((n, c), dtype=np.float32)
-        qul = np.zeros((n, c), dtype=np.float32)
-        s = self.max_seq_length
-        p = self.max_pair_length
         groups = self._entity_groups(e)
         group_of = np.zeros(e, dtype=np.int64)
         for gi, g in enumerate(groups):
             group_of[g] = gi
 
-        # phase 1 — lightweight descriptors only (token ids + span slices);
-        # the heavy tensors (the (T, T) masks) are packed lazily per chunk
-        # in phase 2, so peak memory is batch_examples masks — not one per
-        # example, which at E=128 entities would hold ~GBs of masks alive
-        examples: list[tuple] = []  # (ids, sub_position, spans, sel, ju, ku)
+        examples: list[tuple] = []
         for i in np.unique(cand[:, 1]):
             sel = np.nonzero(cand[:, 1] == i)[0]
             jj, kk = cand[sel, 2], cand[sel, 3]
@@ -465,9 +514,14 @@ class ModelScorer:
                 ku = np.searchsorted(union, kk[bsel])
                 examples.append(
                     (ids, sub_position, spans[union], sel[bsel], ju, ku))
+        return examples
 
-        # phase 2 — pack + encode example chunks (one forward per chunk),
-        # then scatter per-candidate marker states into the logit rows
+    def _encoded_examples(self, examples: list[tuple]):
+        """Phase 2 — pack + encode example chunks (one forward per chunk);
+        yields per-example (hidden_states, packed, sel, ju, ku) for the
+        caller to scatter marker states into its logit rows."""
+        s = self.max_seq_length
+        p = self.max_pair_length
         for lo in range(0, len(examples), self.batch_examples):
             chunk = [
                 (packed_candidate_batch(ids_, subp_, sp_, sp_, s, p),
@@ -476,14 +530,51 @@ class ModelScorer:
                 in examples[lo:lo + self.batch_examples]]
             h_b = self._encode_examples([ex[0] for ex in chunk])
             for z, (batch, selb, ju, ku) in enumerate(chunk):
-                h = h_b[z]
-                hsub = h[batch.sub_position[0]]
-                h1 = h[s + ju]        # object left markers per candidate
-                h2 = h[s + p + ju]    # object right markers per candidate
-                hq = h[s + ku] + h[s + p + ku]
-                rel[selb] = self.encoder.pair_logits(h1, h2, hsub)
-                qul[selb] = self.encoder.pair_logits(hq, h2, hsub)
+                yield h_b[z], batch, selb, ju, ku
+
+    def score_sentence(
+        self, tokens: list[str], entities: np.ndarray, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        n = cand.shape[0]
+        c = self.encoder.num_classes
+        rel = np.zeros((n, c), dtype=np.float32)
+        qul = np.zeros((n, c), dtype=np.float32)
+        s = self.max_seq_length
+        p = self.max_pair_length
+        examples = self._build_examples(tokens, entities, cand)
+        for h, batch, selb, ju, ku in self._encoded_examples(examples):
+            hsub = h[batch.sub_position[0]]
+            h1 = h[s + ju]        # object left markers per candidate
+            h2 = h[s + p + ju]    # object right markers per candidate
+            hq = h[s + ku] + h[s + p + ku]
+            rel[selb] = self.encoder.pair_logits(h1, h2, hsub)
+            qul[selb] = self.encoder.pair_logits(hq, h2, hsub)
         return rel, qul
+
+    def score_sentence_multi(
+        self, tokens: list[str], entities: np.ndarray, cand: np.ndarray,
+        widths: tuple[int, ...]
+    ) -> list[np.ndarray]:
+        """Event/role/hypergraph scoring: one logit array per n-ary head
+        (v, q[, qb[, qc]]) with per-schema widths — the reference's extra
+        q2/q3 qualifier classifiers (modeling_bert.py:2327-2335, consumed
+        by the decode at run_re.py:1519-1628 / 1764-1862).  Same packed-
+        marker batching as :meth:`score_sentence`; each head reads the same
+        marker states through its own classifier."""
+        n = cand.shape[0]
+        outs = [np.zeros((n, c), dtype=np.float32) for c in widths]
+        s = self.max_seq_length
+        p = self.max_pair_length
+        examples = self._build_examples(tokens, entities, cand)
+        for h, batch, selb, ju, ku in self._encoded_examples(examples):
+            hsub = h[batch.sub_position[0]]
+            h1 = h[s + ju]
+            h2 = h[s + p + ju]
+            hq = h[s + ku] + h[s + p + ku]
+            for hi, c in enumerate(widths):
+                outs[hi][selb] = self.encoder.head_logits(
+                    h1, h2, hq, hsub, c, hi)
+        return outs
 
     def predict_mention_ner(
         self, tokens: list[str], entities: np.ndarray, n_ner_classes: int

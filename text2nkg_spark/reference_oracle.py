@@ -25,6 +25,7 @@ def decode_sentence(
     space: LabelSpace,
     same_entity: bool = False,
     strict: bool = True,
+    unidirect: bool = False,
 ) -> list[tuple[Span, Span, str, Span, str]]:
     """Decode one sentence's ordered score dict into output_preds.
 
@@ -36,6 +37,14 @@ def decode_sentence(
     subword-pruned candidate sets (where the reference would crash).
     Returns the reference's ``output_preds``: (m1, m2, rel_name, m3, qual_name)
     per surviving NMS item, duplicates included (run_re.py:1493).
+
+    ``unidirect=True`` is the ``--eval_unidirect`` ablation (run_re.py:1291,
+    2652): NO 6-permutation ensemble — every ordering keeps its own raw
+    logits and decodes independently (no visited-set collapse), with the
+    direction normalization and NMS unchanged.  The reference keeps this
+    branch for ablation studies (its pair-level body survives only as the
+    commented block at run_re.py:2176-2266; ``if not args.eval_unidirect``
+    gates the ensembled decode).
     """
     label_list = space.label_list
     q_label_list = space.label_list
@@ -62,6 +71,35 @@ def decode_sentence(
         if not same_entity:
             if m1 == m2 or m2 == m3 or m3 == m1:
                 continue
+
+        if unidirect:
+            # ablation: no ensemble, no permutation visits — this ordering
+            # decodes on its own raw logits
+            v1_ner_label = v2_ner_label = v3_ner_label = "Entity"
+            pred_label = int(np.argmax(v))
+            q_pred_label = int(np.argmax(q))
+            if pred_label > 0 and q_pred_label > 0:
+                if pred_label >= num_label:
+                    pred_label = pred_label - num_label + n_sym
+                    m1, m2, m3 = m2, m1, m3
+                if q_pred_label >= num_q_label:
+                    m1, m2, m3 = m3, m1, m2
+                    temp = pred_label
+                    pred_label = q_pred_label - num_q_label + n_sym
+                    q_pred_label = temp
+                if label_list[pred_label].startswith("[k]"):
+                    if q_label_list[q_pred_label].startswith("[k]"):
+                        continue
+                    m1, m2, m3 = m1, m3, m2
+                    pred_label, q_pred_label = q_pred_label, pred_label
+                if (label_list[pred_label].startswith("[r]")
+                        and q_label_list[q_pred_label].startswith("[r]")):
+                    continue
+                sentence_results.append(
+                    (v[pred_label], m1, m2, pred_label, v1_ner_label,
+                     v2_ner_label, q[q_pred_label], m3, q_pred_label,
+                     "Entity"))
+            continue
 
         if not strict:
             perms = ((m2, m1, m3), (m1, m3, m2), (m2, m3, m1),
