@@ -60,6 +60,38 @@ def test_shingles(spark):
     assert got == ["^ab", "abc", "bcd", "cd$"]
 
 
+def test_exploded_minhash_matches_hof_oracle(spark):
+    """The production exploded-min-md5 signature shape equals the nested-HOF
+    minhash_signature oracle element-for-element (same seed/hash-prefixed
+    md5 inputs, same lexicographic mins)."""
+    from text2nkg_spark.operators.canonicalize import (
+        char_shingles, minhash_signature)
+    from text2nkg_spark.operators.dedup import exploded_min_md5
+
+    surfaces = spark.createDataFrame(
+        [("alpha beta",), ("alphabet",), ("gamma delta epsilon",), ("x",)],
+        "surface string")
+    num_hashes, seed = 6, 42
+    sh = surfaces.select(
+        F.col("surface").alias("s"),
+        char_shingles(F.col("surface"), 3).alias("sh"),
+    ).where(F.size("sh") > 0)
+    hof = {
+        r["s"]: list(r["sig"])
+        for r in sh.select(
+            "s", minhash_signature(F.col("sh"), num_hashes, seed)
+            .alias("sig")).collect()}
+    ex = sh.select("s", F.explode("sh").alias("g"))
+    flat_df = exploded_min_md5(
+        ex, ["s"], "g", num_hashes,
+        lambda h, g: F.concat_ws("|", F.lit(str(seed)), F.lit(str(h)), g))
+    flat = {
+        r["s"]: [r[f"_m{h}"] for h in range(num_hashes)]
+        for r in flat_df.collect()}
+    assert len(hof) == 4  # "^x$" padding gives even the 1-char surface one
+    assert hof == flat
+
+
 def test_lsh_pairs_find_near_duplicates(spark):
     surfaces = [
         ("the quick brown fox jumps",),

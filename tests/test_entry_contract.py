@@ -23,10 +23,12 @@ def _duck(sf_dir):
 
 
 def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
+    # Floats compare EXACTLY (the driver's own check hashes raw values, so
+    # a last-ulp cross-engine divergence would fail there too — every
+    # oracle here is designed bit-exact; rounding would mask drift).  Only
+    # NaN needs normalizing (NaN != NaN would break the multiset compare).
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
     return v
 
 

@@ -127,6 +127,23 @@ def test_withner_counters(spark, withner_fixture):
     assert relation_prf_withner(preds, gold, gold_ner, elsewhere) == got
 
 
+def test_withner_missing_span_fails_loudly(spark, withner_fixture):
+    """A predicted span ABSENT from the input NER must raise (the
+    reference's pos2ner dict would KeyError) — not silently drop the
+    prediction and deflate the counters."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from text2nkg_spark.operators.metrics import relation_prf_withner
+
+    gold, gold_ner, ner_rows, ner_schema, preds = withner_fixture
+    missing = spark.createDataFrame(
+        [r for r in ner_rows if r[2] != 3], ner_schema)
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="missing from input NER"):
+        relation_prf_withner(preds, gold, gold_ner, missing)
+
+
 def test_refine_is_identity_quirk(spark, withner_fixture):
     from text2nkg_spark.operators.metrics import ner_refine_metrics
 

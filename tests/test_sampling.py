@@ -104,6 +104,42 @@ def test_token_quota_shards_partitioned(spark, docs):
     assert all(len(v) == 1 for v in bins.values())
 
 
+def test_shard_family_custom_id_col(spark, docs):
+    """id_col/text_col thread all the way through shard_stats and
+    pack_greedy_bins (regression: downstream hardcoded doc_id and crashed
+    on any non-default id column)."""
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sampling import (
+        pack_greedy_bins, shard_stats)
+
+    renamed = docs.limit(60).select(
+        F.col("doc_id").cast("string").alias("uid"),
+        F.col("text").alias("body"))
+    sharded = token_quota_shards(
+        renamed, budget=2048, id_col="uid", text_col="body")
+    stats = shard_stats(sharded, id_col="uid").collect()
+    assert len(stats) > 0 and all(r.n_docs > 0 for r in stats)
+    packed = pack_greedy_bins(sharded, 512, id_col="uid")
+    rows = packed.collect()
+    assert len(rows) == 60
+    assert packed.schema["uid"].dataType.simpleString() == "string"
+    # same assignment as the doc_id-keyed run (uid sorts like doc_id here
+    # only within equal string lengths — so compare against its own oracle)
+    by_shard: dict[tuple, list] = {}
+    for r in sorted(rows, key=lambda r: (r.shard_part, r.shard, r.uid)):
+        by_shard.setdefault((r.shard_part, r.shard), []).append(r)
+    for _sh, srows in by_shard.items():
+        b, acc, pos = 0, 0, 0
+        for r in srows:
+            t = int(r.n_tokens)
+            if acc > 0 and acc + t > 512:
+                b, acc, pos = b + 1, 0, 0
+            assert (r.bin, r.bin_pos) == (b, pos)
+            acc += t
+            pos += 1
+
+
 def test_pack_greedy_bins_python_oracle(spark, docs):
     budget = 512
     sharded = token_quota_shards(docs.limit(120), budget=4096)

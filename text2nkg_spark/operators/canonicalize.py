@@ -42,7 +42,12 @@ def char_shingles(col, n: int = 3):
 def minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
     """Array of ``num_hashes`` min-hashes: lexicographic min of md5 hex
     digests over seed/band-prefixed shingles — bit-reproducible in any
-    engine with md5."""
+    engine with md5.
+
+    TEST-ONLY oracle shape: production uses dedup.exploded_min_md5 (flat
+    codegen-friendly expressions); tests/test_canonicalize.py asserts the
+    two produce identical signatures.  Nested HOFs compile through janino
+    in seconds per fresh session — never put this in a hot path."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
@@ -77,11 +82,12 @@ def lsh_candidate_pairs(
     ).where(F.size("sh") > 0)
     # exploded minhash shape: one md5 column per hash over exploded
     # shingles + a min-aggregate, instead of num_hashes nested HOF
-    # transforms.  Identical signatures (min over the same md5 strings,
-    # tested vs minhash_signature) — but the flat expressions stay inside
-    # whole-stage codegen AND compile in ms, where the nested-HOF tree
-    # took seconds of janino work per fresh session (the dominant cold
-    # cost of the entities query)
+    # transforms.  Identical signatures — min over the same md5 strings;
+    # tests/test_canonicalize.py::test_exploded_minhash_matches_hof_oracle
+    # asserts equality vs the minhash_signature HOF oracle above.  The flat
+    # expressions stay inside whole-stage codegen AND compile in ms, where
+    # the nested-HOF tree took seconds of janino work per fresh session
+    # (the dominant cold cost of the entities query)
     from text2nkg_spark.operators.dedup import exploded_min_md5
 
     ex = sh.select("s", F.explode("sh").alias("g"))

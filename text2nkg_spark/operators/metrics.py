@@ -132,9 +132,12 @@ def relation_qualifier_prf(preds: DataFrame, gold: DataFrame) -> dict[str, float
 
 def _enrich_with_ner(df: DataFrame, ner: DataFrame,
                      spans: list[tuple[str, str, str]]) -> DataFrame:
-    """Join a span-keyed table with per-span NER labels (pos2ner lookup:
-    every candidate span comes from the NER results, so the join is total —
-    the reference's dict indexing would KeyError otherwise)."""
+    """Join a span-keyed table with per-span NER labels (pos2ner lookup).
+
+    Every candidate span must come from the NER results — the reference's
+    dict indexing would KeyError on a missing span (run_re.py:1482-1485).
+    A LEFT join + raise_error preserves that loudness: an inner join would
+    silently DROP the prediction and deflate the *_with_ner counters."""
     out = df
     for s_col, e_col, lab in spans:
         out = out.join(
@@ -142,7 +145,14 @@ def _enrich_with_ner(df: DataFrame, ner: DataFrame,
                 "conv_id", "turn_idx",
                 F.col("start").alias(s_col), F.col("end").alias(e_col),
                 F.col("ner_label").alias(lab)),
-            ["conv_id", "turn_idx", s_col, e_col])
+            ["conv_id", "turn_idx", s_col, e_col], "left").withColumn(
+            lab,
+            F.coalesce(F.col(lab), F.raise_error(F.concat(
+                F.lit(f"span ({s_col},{e_col})=("),
+                F.col(s_col).cast("string"), F.lit(","),
+                F.col(e_col).cast("string"),
+                F.lit(") missing from input NER (pos2ner KeyError "
+                      "analogue, run_re.py:1482-1485)")))))
     return out
 
 

@@ -108,14 +108,16 @@ def token_quota_shards(
     )
 
 
-def shard_stats(sharded: DataFrame) -> DataFrame:
+def shard_stats(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-(partition, shard) summary (the sink-side packing manifest) —
-    keyed on (shard_part, shard): shard ids restart per quota partition."""
+    keyed on (shard_part, shard): shard ids restart per quota partition.
+    ``id_col`` must match the column token_quota_shards ordered by; the
+    output keeps the canonical doc_min/doc_max names either way."""
     return sharded.groupBy("shard_part", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("tok_total"),
-        F.min("doc_id").alias("doc_min"),
-        F.max("doc_id").alias("doc_max"),
+        F.min(id_col).alias("doc_min"),
+        F.max(id_col).alias("doc_max"),
     )
 
 
@@ -123,7 +125,9 @@ GREEDY_SCHEMA = ("doc_id long, n_tokens int, shard_part string, "
                  "shard int, bin int, bin_pos int")
 
 
-def pack_greedy_bins(sharded: DataFrame, budget: int) -> DataFrame:
+def pack_greedy_bins(
+    sharded: DataFrame, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
     """Exact greedy reset packing WITHIN each quota shard (applyInPandas —
     greedy packing is inherently sequential, but only inside a shard, so
     the sequential scan is bounded by the shard budget and shards pack in
@@ -131,12 +135,17 @@ def pack_greedy_bins(sharded: DataFrame, budget: int) -> DataFrame:
 
     Output bins are (shard_part, shard, bin) triples — shard ids restart
     per quota partition, so the group key includes shard_part; pytest
-    asserts parity with a pure-python greedy oracle.
+    asserts parity with a pure-python greedy oracle.  ``id_col`` follows
+    token_quota_shards (the output column keeps its input name and type).
     """
     import pandas as pd
 
+    id_type = sharded.schema[id_col].dataType.simpleString()
+    schema = (f"`{id_col}` {id_type}, n_tokens int, shard_part string, "
+              "shard int, bin int, bin_pos int")
+
     def pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("doc_id", kind="stable")
+        pdf = pdf.sort_values(id_col, kind="stable")
         bins, poss = [], []
         b, acc, pos = 0, 0, 0
         for t in pdf["n_tokens"]:
@@ -147,12 +156,12 @@ def pack_greedy_bins(sharded: DataFrame, budget: int) -> DataFrame:
             poss.append(pos)
             acc += t
             pos += 1
-        out = pdf[["doc_id", "n_tokens", "shard_part", "shard"]].copy()
+        out = pdf[[id_col, "n_tokens", "shard_part", "shard"]].copy()
         out["bin"] = bins
         out["bin_pos"] = poss
         return out
 
     return (
-        sharded.select("doc_id", "n_tokens", "shard_part", "shard")
-        .groupBy("shard_part", "shard").applyInPandas(pack, GREEDY_SCHEMA)
+        sharded.select(id_col, "n_tokens", "shard_part", "shard")
+        .groupBy("shard_part", "shard").applyInPandas(pack, schema)
     )
