@@ -343,6 +343,29 @@ def q_nkg_gold_extract(spark, sf_dir):
         "subj", "obj", "value")
 
 
+def q_nkg_gold_unidirect(spark, sf_dir):
+    """--eval_unidirect ablation decode (run_re.py:1291, 2652) over the
+    gold corpus: no 6-permutation ensemble — every candidate ordering
+    decodes its own raw logits; direction normalization + NMS unchanged.
+    With gold scoring the kept facts equal the ensembled extraction (all 6
+    orderings normalize to the planted fact; NMS keeps one), so the oracle
+    is the same doc_id arithmetic."""
+    from text2nkg_spark.config import PipelineConfig
+    from text2nkg_spark.labels import LabelSpace, make_synthetic_labels
+    from text2nkg_spark.plans.pipeline import extract
+
+    tr, gold = _gold_oracle_corpus(spark, sf_dir)
+    space = LabelSpace.build(*make_synthetic_labels(3, 2))
+    preds = extract(
+        tr, PipelineConfig(scorer="gold", eval_unidirect=True), space,
+        gold=gold)
+    return preds.select(
+        "conv_id", "turn_idx",
+        F.col("pred_idx").cast("int").alias("pred_idx"),
+        "m1s", "m1e", "m2s", "m2e", "rel", "m3s", "m3e", "qual",
+        "subj", "obj", "value")
+
+
 def q_nkg_gold_compacted(spark, sf_dir):
     """G2 compaction over the gold extraction, including the byte-exact
     canonical JSON and the sha256 fact_id — all SQL-reproducible."""
@@ -1342,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_extract_facts": q_nkg_extract_facts,
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_extract": q_nkg_gold_extract,
+        "nkg_gold_unidirect": q_nkg_gold_unidirect,
         "nkg_gold_compacted": q_nkg_gold_compacted,
         "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
         "nkg_model_extract": q_nkg_model_extract,
@@ -1599,6 +1623,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "nkg_gold_extract": f"""
+            WITH {_GOLD_CORPUS_CTE}
+            SELECT conv_id, turn_idx, CAST(0 AS INT) AS pred_idx,
+                   CAST(spans[hi+1][1] AS INT) AS m1s,
+                   CAST(spans[hi+1][2] AS INT) AS m1e,
+                   CAST(spans[ti+1][1] AS INT) AS m2s,
+                   CAST(spans[ti+1][2] AS INT) AS m2e,
+                   rel,
+                   CAST(spans[qi+1][1] AS INT) AS m3s,
+                   CAST(spans[qi+1][2] AS INT) AS m3e,
+                   qual,
+                   surfs[hi+1] AS subj, surfs[ti+1] AS obj,
+                   surfs[qi+1] AS value
+            FROM b
+        """,
+        # --eval_unidirect ablation (run_re.py:1291): every ordering
+        # decodes on its own raw logits.  With the gold scorer all 6
+        # orderings direction-normalize to the planted fact and NMS keeps
+        # one — the output equals the ensembled extraction exactly, so the
+        # oracle is the same arithmetic (a broken unidirect path would
+        # emit 6 rows per sentence or swapped spans and hash-mismatch)
+        "nkg_gold_unidirect": f"""
             WITH {_GOLD_CORPUS_CTE}
             SELECT conv_id, turn_idx, CAST(0 AS INT) AS pred_idx,
                    CAST(spans[hi+1][1] AS INT) AS m1s,
