@@ -1332,19 +1332,26 @@ def q_bloom_semijoin(spark, sf_dir):
     # word list is still a broadcast-class payload
     words = bloom_words(urgent, "o_orderkey", bits=bits)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    passed = li.select(
-        bloom_filter_expr(words, F.col("l_orderkey"), bits=bits).alias("ok"))
-    agg = passed.agg(
+    # ONE scan computes all three counts: the bloom probe is a projection
+    # and the exact membership rides a broadcast left join — at 100 TB the
+    # big-side scan dominates, so never scan it twice for two aggregates.
+    # The k md5 probes are CPU-bound; at bench scale the table is 3 parquet
+    # splits, so an explicit repartition spreads the hash work across all
+    # cores (at 100 TB the scan has thousands of splits and this is moot —
+    # matching parallelism to the CPU-heavy stage is the principle)
+    joined = li.select("l_orderkey").repartition(
+        max(spark.sparkContext.defaultParallelism, 8)).select(
+        bloom_filter_expr(words, F.col("l_orderkey"), bits=bits).alias("ok"),
+        "l_orderkey",
+    ).join(F.broadcast(urgent),
+           F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_probe"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long")
-        .alias("n_bloom_pass"))
-    true_n = li.join(
-        F.broadcast(urgent), li["l_orderkey"] == urgent["o_orderkey"],
-        "left_semi").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    return agg.crossJoin(true_n).select(
-        "n_probe", "n_bloom_pass", "n_true",
-        (F.col("n_bloom_pass") - F.col("n_true")).cast("long")
-        .alias("n_false_pos"))
+        .alias("n_bloom_pass"),
+        F.count("o_orderkey").cast("long").alias("n_true"),
+        (F.sum(F.when(F.col("ok"), 1).otherwise(0))
+         - F.count("o_orderkey")).cast("long").alias("n_false_pos"))
 
 
 def q_multimodal_features(spark, sf_dir):
