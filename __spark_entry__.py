@@ -587,6 +587,34 @@ def _gold_multi_corpus(spark, sf_dir, schema):
         ner.alias("ner"), relations.alias("relations"))
 
 
+def q_nkg_model_event_extract(spark, sf_dir):
+    """Model-scored EVENT-schema extraction (the q2/q3 qualifier heads,
+    modeling_bert.py:2327-2335; decode at run_re.py:1519-1628) over the
+    planted corpus with deterministic doc-dependent tokens.  Mini-model
+    logits are not SQL-expressible — rows-only driver check; bit-parity
+    vs the decode oracle and the local-loop twin is pytest-asserted
+    (tests/test_multi_schema.py)."""
+    from text2nkg_spark.config import PipelineConfig
+    from text2nkg_spark.operators.extraction_multi import (
+        SchemaLabels, extract_facts_multi)
+
+    norm = _gold_multi_corpus(spark, sf_dir, "event").withColumn(
+        "tokens",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.concat(
+                F.lit("w"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("_"), i.cast("string"))))
+    rels, quals = _MULTI_GOLD_LABELS["event"]
+    cfg = PipelineConfig(nary_schema="event", scorer="model",
+                         max_seq_length=64, max_pair_length=8)
+    out = extract_facts_multi(norm, "event", cfg, SchemaLabels(rels, quals))
+    return out.select(
+        "doc_id", "sent_idx", F.col("pred_idx").cast("int").alias("pred_idx"),
+        "rel", "m1s", "m1e", "m1_label", "m2s", "m2e", "m2_label",
+        "m3s", "m3e", "m3_label")
+
+
 def _q_gold_multi(schema):
     """Gold-scored multi-schema extraction over the planted corpus.
 
@@ -1373,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_unidirect": q_nkg_gold_unidirect,
+        "nkg_model_event_extract": q_nkg_model_event_extract,
         "nkg_gold_compacted": q_nkg_gold_compacted,
         "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
         "nkg_model_extract": q_nkg_model_extract,
