@@ -1351,7 +1351,7 @@ def q_bloom_semijoin(spark, sf_dir):
     into the lineitem scan as a pure filter — zero shuffle on the big
     side; exact counts quantify the false-positive cost."""
     from text2nkg_spark.operators.sketches import (
-        bloom_filter_expr, bloom_words)
+        bloom_filter_join, bloom_words)
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     urgent = orders.where(
@@ -1360,19 +1360,21 @@ def q_bloom_semijoin(spark, sf_dir):
     # word list is still a broadcast-class payload
     words = bloom_words(urgent, "o_orderkey", bits=bits)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # ONE scan computes all three counts: the bloom probe is a projection
-    # and the exact membership rides a broadcast left join — at 100 TB the
-    # big-side scan dominates, so never scan it twice for two aggregates.
-    # The k md5 probes are CPU-bound; at bench scale the table is 3 parquet
-    # splits, so an explicit repartition spreads the hash work across all
-    # cores (at 100 TB the scan has thousands of splits and this is moot —
-    # matching parallelism to the CPU-heavy stage is the principle)
-    joined = li.select("l_orderkey").repartition(
-        max(spark.sparkContext.defaultParallelism, 8)).select(
-        bloom_filter_expr(words, F.col("l_orderkey"), bits=bits).alias("ok"),
-        "l_orderkey",
-    ).join(F.broadcast(urgent),
-           F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    # ONE scan computes all three counts: the bloom probe rides a
+    # broadcast-DATA join (bloom_filter_join — a 2^18-bit bloom as a plan
+    # literal costs ~6 s of Catalyst planning per query) and the exact
+    # membership a broadcast left join — at 100 TB the big-side scan
+    # dominates, so never scan it twice for two aggregates.  The k md5
+    # probes are CPU-bound; at bench scale the table is 3 parquet splits,
+    # so an explicit repartition spreads the hash work across all cores
+    # (at 100 TB the scan has thousands of splits and this is moot)
+    probed = bloom_filter_join(
+        li.select("l_orderkey").repartition(
+            max(spark.sparkContext.defaultParallelism, 8)),
+        words, "l_orderkey", bits=bits, flag="ok")
+    joined = probed.join(
+        F.broadcast(urgent),
+        F.col("l_orderkey") == F.col("o_orderkey"), "left")
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_probe"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long")

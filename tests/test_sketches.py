@@ -152,6 +152,29 @@ def test_bloom_probe_is_single_literal_array(spark):
     assert df.where(cond).count() >= 0
 
 
+def test_bloom_join_matches_expr(spark):
+    """bloom_filter_join (broadcast-data shape) flags exactly the rows
+    bloom_filter_expr (literal shape) passes — same bits, same positions;
+    and the plan carries a BroadcastNestedLoopJoin of ONE row, not a giant
+    literal."""
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sketches import (
+        bloom_filter_expr, bloom_filter_join, bloom_words)
+
+    members = spark.range(0, 60).select((F.col("id") * 3).alias("key"))
+    words = bloom_words(members, "key", bits=1024, k=3)
+    probes = spark.range(0, 500).select(F.col("id").alias("key"))
+    via_expr = {
+        r.key for r in probes.where(
+            bloom_filter_expr(words, F.col("key"), bits=1024)).collect()}
+    flagged = bloom_filter_join(probes, words, "key", bits=1024)
+    via_join = {r.key for r in flagged.where("bloom_ok").collect()}
+    assert via_expr == via_join and len(via_join) >= 60
+    # helper arrays dropped; flag column present
+    assert set(flagged.columns) == {"key", "bloom_ok"}
+
+
 def test_bloom_bitmap_drops_null_keys(spark):
     from pyspark.sql import functions as F
 
