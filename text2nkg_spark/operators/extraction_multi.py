@@ -108,18 +108,25 @@ def _rel_cell_to_dicts(cell) -> list[dict]:
 
 
 def _worker_scorer_multi(cfg: PipelineConfig):
-    """One ModelScorer per python worker for the multi-schema path — shares
-    the executor-local cache with the hyperrelation scorer (weights load
-    once per worker, never broadcast through the driver)."""
+    """One ModelScorer per python worker for the multi-schema path.
+
+    GENUINE weight sharing with the hyperrelation scorer: head widths are
+    explicit arguments to ``score_sentence_multi`` (the encoder's own
+    num_classes is irrelevant to ``head_logits``), so an already-loaded
+    scorer with the same (checkpoint, seq/pair lengths, variant) — any
+    num_classes — is reused; a job mixing both paths on a real torch
+    checkpoint holds ONE model per worker, not two."""
     from text2nkg_spark.operators.extraction import _WORKER_SCORERS
     from text2nkg_spark.operators.model_scorer import ModelScorer
 
-    key = (cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
-           "multi", cfg.model_variant)
-    if key not in _WORKER_SCORERS:
-        _WORKER_SCORERS[key] = ModelScorer(
-            cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
-            variant=cfg.model_variant)
+    prefix = (cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length)
+    for key, scorer in _WORKER_SCORERS.items():
+        if key[:3] == prefix and key[4] == cfg.model_variant:
+            return scorer
+    key = prefix + ("multi", cfg.model_variant)
+    _WORKER_SCORERS[key] = ModelScorer(
+        cfg.model_checkpoint, cfg.max_seq_length, cfg.max_pair_length,
+        variant=cfg.model_variant)
     return _WORKER_SCORERS[key]
 
 
@@ -144,10 +151,10 @@ def score_heads(
     widths = tuple(head_width(schema, hi, labels) for hi in range(n_heads))
     heads: dict[str, np.ndarray] = {}
     if cfg.scorer == "model":
-        if ents is None:
+        if ents is None or tokens is None:
             raise ValueError("scorer='model' needs entity spans and tokens")
         outs = _worker_scorer_multi(cfg).score_sentence_multi(
-            list(tokens or []), ents, cand, widths)
+            list(tokens), ents, cand, widths)
         for hi in range(n_heads):
             heads[_HEAD_NAMES[hi]] = outs[hi].astype(np.float64)
     elif cfg.scorer in ("hash", "gold"):

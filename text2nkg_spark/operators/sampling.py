@@ -121,10 +121,6 @@ def shard_stats(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-GREEDY_SCHEMA = ("doc_id long, n_tokens int, shard_part string, "
-                 "shard int, bin int, bin_pos int")
-
-
 def pack_greedy_bins(
     sharded: DataFrame, budget: int, id_col: str = "doc_id"
 ) -> DataFrame:

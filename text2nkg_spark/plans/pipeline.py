@@ -159,7 +159,7 @@ def run_pipeline(
         fp, cfg.scorer, cfg.hash_seed, space.d, cfg.tokenizer,
         cfg.wordpiece_piece_len, cfg.model_checkpoint, cfg.model_variant,
         cfg.max_seq_length, cfg.max_pair_length, cfg.same_entity,
-        cfg.log_softmax, cfg.gold_weight))
+        cfg.log_softmax, cfg.gold_weight, cfg.eval_unidirect))
     preds = man.run_stage(
         spark, "predictions", fp2,
         lambda: extract_facts_fused(sents, cfg, space).withColumn(
