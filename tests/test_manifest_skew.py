@@ -144,3 +144,9 @@ def test_resume_key_covers_semantic_config(spark, tr, tmp_path_factory):
                                 max_seq_length=64))
     fp_after = man.read_meta("predictions")["input_fingerprint"]
     assert fp_before != fp_after
+    # the unidirect ablation also shapes predictions (review-found gap:
+    # the key originally omitted it and served stale ensembled parquet)
+    run_pipeline(spark, tr, root,
+                 PipelineConfig(scorer="hash", eval_unidirect=True))
+    fp_uni = man.read_meta("predictions")["input_fingerprint"]
+    assert fp_uni not in (fp_before, fp_after)

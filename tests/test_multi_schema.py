@@ -242,6 +242,24 @@ def test_multi_model_head_logits_distinct_and_wired():
         assert not np.array_equal(a, b)
 
 
+def test_multi_model_group_pair_batching_bit_parity():
+    """E > max_pair_length: multi-schema scoring falls back to group-pair
+    batching (every packed example bounded at P marker rows) and stays
+    bit-identical to a small-batch chunking of the same examples."""
+    from text2nkg_spark.operators.model_scorer import ModelScorer
+
+    big = np.column_stack([np.arange(9) * 2 + 1, np.arange(9) * 2 + 1])
+    cand = enumerate_triples(big, 64)
+    a = ModelScorer("mini", max_seq_length=64, max_pair_length=8)
+    outs_a = a.score_sentence_multi(["t"] * 24, big, cand, (4, 6, 6, 6))
+    b = ModelScorer("mini", max_seq_length=64, max_pair_length=8)
+    b.batch_examples = 2  # force many encoder chunks
+    outs_b = b.score_sentence_multi(["t"] * 24, big, cand, (4, 6, 6, 6))
+    assert outs_a[0].shape == (9 ** 3, 4)
+    for x, y in zip(outs_a, outs_b):
+        assert np.array_equal(x, y)
+
+
 @pytest.mark.parametrize("schema", ["event", "role"])
 def test_multi_model_spark_end_to_end_parity(spark, schema):
     """scorer='model' through the full fused Spark extraction == a local
