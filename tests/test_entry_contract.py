@@ -69,6 +69,19 @@ def test_oracle_matches(spark, name):
     assert a == b, f"{name}: first mismatches {[(a[i], b[i]) for i in mism]}"
 
 
+def test_rows_only_entries_deterministic(spark):
+    """Entries WITHOUT a SQL oracle get only a row-count driver check, so
+    nondeterminism would silently wobble that count between rounds — run
+    each twice and require identical multisets."""
+    no_oracle = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+    assert "nkg_model_event_extract" in no_oracle
+    for name in no_oracle:
+        q = entry_mod.queries()[name]
+        a = sorted(tuple(r) for r in q(spark, SF).collect())
+        b = sorted(tuple(r) for r in q(spark, SF).collect())
+        assert a == b and len(a) > 0, name
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

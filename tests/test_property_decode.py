@@ -82,3 +82,23 @@ def test_gold_decode_parity_property(ents, seed, data):
     hs, he, ts_, te = gold[0][0], gold[0][1], gold[0][2], gold[0][3]
     qs, qe = gold[0][5][0][0], gold[0][5][0][1]
     assert (hs, he, ts_, te, rel, qs, qe, qual) in recovered
+
+
+@settings(max_examples=50, deadline=None)
+@given(ents=entity_layouts(), seed=st.integers(0, 2**31 - 1),
+       doc=st.integers(0, 10**6), sent=st.integers(0, 100))
+def test_unidirect_decode_parity_property(ents, seed, doc, sent):
+    """--eval_unidirect ablation: the vectorized no-ensemble decode equals
+    the oracle transcription for arbitrary layouts and logit seeds."""
+    from text2nkg_spark.decode_core import decode_sentence_unidirect
+
+    cand = enumerate_triples(ents, 256)
+    rel = log_softmax(
+        hash_logits(doc, sent, cand[:, 4:10], SPACE.num_classes, seed, 0))
+    q = log_softmax(
+        hash_logits(doc, sent, cand[:, 4:10], SPACE.num_classes, seed, 1))
+    got = decode_sentence_unidirect(ents, cand, rel, q, SPACE)
+    want = decode_sentence(
+        _pair_dict(ents, cand, rel, q), SPACE, unidirect=True)
+    assert [((p[0], p[1]), (p[2], p[3]), p[4], (p[5], p[6]), p[7])
+            for p in got] == want
