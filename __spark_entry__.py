@@ -1212,6 +1212,43 @@ def q_pack_token_shards(spark, sf_dir):
         F.col("doc_max").cast("long").alias("doc_max"))
 
 
+def q_corpus_prep_pipeline(spark, sf_dir):
+    """The full training-data prep flow COMPOSED as one query — exact
+    dedup (window-min keeper, one shuffle, no join) -> integer-exact
+    quality gate (token count + distinct-token ratio via integer
+    cross-multiplication, engine-exact) -> stratified language
+    rebalancing -> token-quota sharding -> per-shard packing manifest.
+    Each stage is the operator its standalone entry already checks; this
+    proves they CHAIN — the actual shape of a 100 TB corpus-prep job."""
+    from pyspark.sql import Window
+
+    from text2nkg_spark.operators.sampling import (
+        shard_stats, stratified_sample, token_quota_shards)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    docs = d.select(
+        "doc_id", "text", "lang",
+        F.md5(F.substring(norm, 1, 30)).alias("content_hash"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"))
+    keeper = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    deduped = docs.withColumn("keeper", keeper).where(
+        (F.col("doc_id") == F.col("keeper"))
+        & (F.col("n_toks") >= 8)
+        & (F.col("n_uniq") * 10 >= F.col("n_toks") * 3))
+    sampled = stratified_sample(deduped, _STRATA_RATES, seed=42)
+    sharded = token_quota_shards(
+        sampled.select("doc_id", "text"), budget=2048)
+    return shard_stats(sharded).select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tok_total").cast("long").alias("tok_total"),
+        F.col("doc_min").cast("long").alias("doc_min"),
+        F.col("doc_max").cast("long").alias("doc_max"))
+
+
 def _doc_tokens(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(
@@ -1453,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         "pack_token_shards": q_pack_token_shards,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "sketch_distinct_tokens": q_sketch_distinct_tokens,
         "sketch_bottomk_sample": q_sketch_bottomk_sample,
         "events_asof": q_events_asof,
@@ -2102,6 +2140,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE sample_bucket < CASE lang
               WHEN 'en' THEN 100 WHEN 'de' THEN 1000
               WHEN 'es' THEN 500 WHEN 'fr' THEN 250 ELSE 0 END
+        """,
+        # composed corpus-prep pipeline: every stage's SQL is the same
+        # fragment its standalone oracle uses, chained — dedup keeper via
+        # window min, integer-exact quality gate, md5-bucket stratified
+        # sample, prefix-sum token sharding
+        "corpus_prep_pipeline": f"""
+            WITH f AS (
+              SELECT doc_id, text, lang,
+                     md5(substr(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'), 1, 30))
+                       AS content_hash,
+                     CAST(len(string_split(regexp_replace(lower(trim(text)),
+                          '\\s+', ' ', 'g'), ' ')) AS INT) AS n_toks,
+                     CAST(len(list_distinct(string_split(regexp_replace(
+                          lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+                          AS INT) AS n_uniq
+              FROM documents),
+            dd AS (
+              SELECT *, min(doc_id) OVER (PARTITION BY content_hash)
+                     AS keeper FROM f),
+            q AS (
+              SELECT doc_id, text, lang FROM dd
+              WHERE doc_id = keeper AND n_toks >= 8
+                AND n_uniq * 10 >= n_toks * 3),
+            samp AS (
+              SELECT doc_id, text FROM q
+              WHERE {_hex52_sql("'42|' || CAST(doc_id AS VARCHAR)")} % 1000
+                < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 1000
+                            WHEN 'es' THEN 500 WHEN 'fr' THEN 250
+                            ELSE 0 END),
+            t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+              FROM samp),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 2048 AS INT) AS shard
+              FROM t)
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+                   CAST(min(doc_id) AS BIGINT) AS doc_min,
+                   CAST(max(doc_id) AS BIGINT) AS doc_max
+            FROM s GROUP BY shard
         """,
         "pack_token_shards": """
             WITH t AS (
