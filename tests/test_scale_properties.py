@@ -226,3 +226,16 @@ def test_tfidf_reads_only_needed_columns(spark):
         assert "doc_id" in ln and "text" in ln, ln
         assert ("lang" not in ln and "source" not in ln
                 and "n_chars" not in ln), ln
+
+
+def test_corpus_prep_pipeline_plan_shape(spark):
+    """The composed prep pipeline prunes the documents scan to its three
+    consumed columns and never plans a cartesian/BNLJ — its only wide ops
+    are the dedup window, the shard window, and the final aggregate."""
+    p = _plan(em.queries()["corpus_prep_pipeline"](spark, SF))
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas, p
+    for ln in schemas:
+        assert "source" not in ln and "n_chars" not in ln, ln
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
