@@ -1003,6 +1003,11 @@ def q_events_hourly(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Hash-groupBy dedup stats over a PREFIX-30 normalized key (a
+    deliberate blocking key for this entry — the synthetic docs collide
+    only on genuine duplicates within 30 chars).  The production exact
+    dedup hashes the FULL normalized text (dedup.exact_duplicates, and
+    corpus_prep_pipeline's dedup stage)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     key = F.md5(F.substring(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 30))
@@ -1213,31 +1218,40 @@ def q_pack_token_shards(spark, sf_dir):
 
 
 def q_corpus_prep_pipeline(spark, sf_dir):
-    """The full training-data prep flow COMPOSED as one query — exact
-    dedup (window-min keeper, one shuffle, no join) -> integer-exact
-    quality gate (token count + distinct-token ratio via integer
-    cross-multiplication, engine-exact) -> stratified language
-    rebalancing -> token-quota sharding -> per-shard packing manifest.
-    Each stage is the operator its standalone entry already checks; this
-    proves they CHAIN — the actual shape of a 100 TB corpus-prep job."""
+    """The full training-data prep flow COMPOSED as one query —
+    integer-exact quality gate (token count + distinct-token ratio via
+    integer cross-multiplication, engine-exact) -> exact dedup among the
+    survivors (full-normalized-text md5, window-min keeper: one shuffle,
+    no join, and a low-quality earliest copy can't drag its duplicate
+    group out of the corpus) -> stratified language rebalancing ->
+    token-quota sharding -> per-shard packing manifest.  Each stage is
+    the operator its standalone entry already checks; this proves they
+    CHAIN — the actual shape of a 100 TB corpus-prep job."""
     from pyspark.sql import Window
 
+    from text2nkg_spark.operators.dedup import normalize_text
     from text2nkg_spark.operators.sampling import (
         shard_stats, stratified_sample, token_quota_shards)
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = normalize_text(F.col("text"))
     toks = F.split(norm, " ")
     docs = d.select(
         "doc_id", "text", "lang",
-        F.md5(F.substring(norm, 1, 30)).alias("content_hash"),
+        # FULL-text hash (same key as dedup.exact_duplicates) — a prefix
+        # hash would collapse distinct docs sharing boilerplate openings
+        F.md5(norm).alias("content_hash"),
         F.size(toks).alias("n_toks"),
         F.size(F.array_distinct(toks)).alias("n_uniq"))
-    keeper = F.min("doc_id").over(Window.partitionBy("content_hash"))
-    deduped = docs.withColumn("keeper", keeper).where(
-        (F.col("doc_id") == F.col("keeper"))
-        & (F.col("n_toks") >= 8)
+    # quality gate FIRST, then dedup among survivors: keeper = min
+    # SURVIVING doc_id, so a low-quality earliest copy cannot drag its
+    # whole duplicate group out of the corpus
+    gated = docs.where(
+        (F.col("n_toks") >= 8)
         & (F.col("n_uniq") * 10 >= F.col("n_toks") * 3))
+    keeper = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    deduped = gated.withColumn("keeper", keeper).where(
+        F.col("doc_id") == F.col("keeper"))
     sampled = stratified_sample(deduped, _STRATA_RATES, seed=42)
     sharded = token_quota_shards(
         sampled.select("doc_id", "text"), budget=2048)
@@ -2148,8 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_pipeline": f"""
             WITH f AS (
               SELECT doc_id, text, lang,
-                     md5(substr(regexp_replace(lower(trim(text)),
-                                               '\\s+', ' ', 'g'), 1, 30))
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                        AS content_hash,
                      CAST(len(string_split(regexp_replace(lower(trim(text)),
                           '\\s+', ' ', 'g'), ' ')) AS INT) AS n_toks,
@@ -2157,13 +2170,14 @@ def oracle_sql() -> dict[str, str]:
                           lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
                           AS INT) AS n_uniq
               FROM documents),
+            g AS (
+              SELECT * FROM f
+              WHERE n_toks >= 8 AND n_uniq * 10 >= n_toks * 3),
             dd AS (
               SELECT *, min(doc_id) OVER (PARTITION BY content_hash)
-                     AS keeper FROM f),
+                     AS keeper FROM g),
             q AS (
-              SELECT doc_id, text, lang FROM dd
-              WHERE doc_id = keeper AND n_toks >= 8
-                AND n_uniq * 10 >= n_toks * 3),
+              SELECT doc_id, text, lang FROM dd WHERE doc_id = keeper),
             samp AS (
               SELECT doc_id, text FROM q
               WHERE {_hex52_sql("'42|' || CAST(doc_id AS VARCHAR)")} % 1000
