@@ -261,10 +261,15 @@ def main() -> None:
                 break
         # saturation documentation: one same-window (8, 32) pair — the
         # shared memory bus collapses per-core rate beyond ~8 active cores
-        # on this host (BASELINE.md topology study); published, not gated
+        # on this host (BASELINE.md topology study); published, not gated.
+        # Sentinel round=-1 keeps the visits list integer-typed (gate
+        # rounds are 0..N-1; fallback pairs below are -2/-3).  NOTE:
+        # local8/local32_turns_per_sec therefore come from this SINGLE
+        # post-search visit pair — documentation values, not best-of-rounds
+        # (BASELINE.md says so next to the numbers of record).
         rates_sat: dict[int, float] = {}
         for cores in (8, 32):
-            _visit(cores, "sat", rates_sat)
+            _visit(cores, -1, rates_sat)
         round_eff[(8, 32)].append(
             round(rates_sat[32] / rates_sat[8] / 4.0, 3))
         rates = {c: n_turns / t for c, t in best_t.items()}
@@ -302,7 +307,7 @@ def main() -> None:
                     dt = time.time() - t0
                     r14[cores] = n_turns / dt
                     visits.append(
-                        {"round": f"fb{rnd}", "cores": cores,
+                        {"round": -2 - rnd, "cores": cores,
                          "sec": round(dt, 3),
                          "turns_per_sec": round(n_turns / dt, 1)})
                     s.stop()

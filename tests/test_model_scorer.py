@@ -135,8 +135,9 @@ class _SingleOnlyEncoder:
     def encode(self, ids, att, pos):
         return self._inner.encode(ids, att, pos)
 
-    def pair_logits(self, h1, h2, hsub):
-        return self._inner.pair_logits(h1, h2, hsub)
+    def pair_logits(self, h1, h2, hql, hqr, hsub_s, hsub_e, head="re"):
+        return self._inner.pair_logits(h1, h2, hql, hqr, hsub_s, hsub_e,
+                                       head)
 
 
 def test_encode_batch_bit_parity():

@@ -143,13 +143,28 @@ def test_bloom_probe_is_single_literal_array(spark):
     # shape built an 8192-child CreateArray that Catalyst does NOT constant-
     # fold — re-evaluated per row per probe (measured 9x slower at sf0.1).
     # CreateArray anywhere in this plan means the regression is back.
-    words = [(i * 2654435761) % (1 << 32) for i in range(8192)]
+    words = [(i * 2654435761) % (1 << 32) for i in range(1024)]
     df = spark.range(100).select(F.col("id").alias("key"))
-    cond = bloom_filter_expr(words, F.col("key"), bits=1 << 18, k=3)
+    cond = bloom_filter_expr(words, F.col("key"), bits=1 << 15, k=3)
     plan = df.where(cond)._jdf.queryExecution().analyzed().toString()
     assert "CreateArray" not in plan
     # and the fold didn't change semantics: membership still type-checks
     assert df.where(cond).count() >= 0
+
+
+def test_bloom_expr_rejects_oversized_literal(spark):
+    """An 8k-word bloom can NEVER reach the literal path: even a single
+    folded 8192-element ArrayType Literal costs ~6 s of driver-side
+    Catalyst planning per fresh query (the r3 47 s headline regression).
+    The public API refuses and points at bloom_filter_join instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sketches import bloom_filter_expr
+
+    words = [(i * 2654435761) % (1 << 32) for i in range(8192)]
+    with pytest.raises(ValueError, match="bloom_filter_join"):
+        bloom_filter_expr(words, F.col("key"), bits=1 << 18, k=3)
 
 
 def test_bloom_join_matches_expr(spark):

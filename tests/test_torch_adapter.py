@@ -94,15 +94,29 @@ def test_missing_heads_is_hard_error(fake_torch):
         TorchEncoderAdapter(ckpt, num_classes=5)
 
 
+def _save_pair_heads(ckpt, rng, c=5, h=None, **extra):
+    """Write the REQUIRED hyperrelation head pair (w_re/b_re, w_qre/b_qre
+    — the reference's re_classifier_* / q_re_classifier_* families) in the
+    documented (6H, C) layout, plus any extra keys."""
+    h = h if h is not None else _FakeBertModel.hidden
+    heads = {
+        "w_re": rng.standard_normal((6 * h, c)),
+        "b_re": rng.standard_normal(c),
+        "w_qre": rng.standard_normal((6 * h, c)),
+        "b_qre": rng.standard_normal(c),
+    }
+    heads.update(extra)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"), **heads)
+    return heads
+
+
 def test_adapter_shapes_and_head_matmul(fake_torch):
     ckpt, model = fake_torch
     from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
 
-    c, h3 = 5, 3 * _FakeBertModel.hidden
+    c, h = 5, _FakeBertModel.hidden
     rng = np.random.default_rng(11)
-    w = rng.standard_normal((h3, c))
-    b = rng.standard_normal(c)
-    np.savez(os.path.join(ckpt, "nary_heads.npz"), w=w, b=b)
+    heads = _save_pair_heads(ckpt, rng, c=c)
 
     adapter = TorchEncoderAdapter(ckpt, num_classes=c)
     ids = rng.integers(0, 30000, size=(3, 40)).astype(np.int64)
@@ -117,15 +131,40 @@ def test_adapter_shapes_and_head_matmul(fake_torch):
     assert np.array_equal(one, out[0])  # deterministic fake: same inputs
     assert model.calls[-1] == ((1, 40), (1, 40, 40), (1, 40))
 
-    # pair_logits = concat(h1, h2, hsub) @ w + b, broadcasting hsub
-    h1 = rng.standard_normal((7, _FakeBertModel.hidden))
-    h2 = rng.standard_normal((7, _FakeBertModel.hidden))
-    hsub = rng.standard_normal(_FakeBertModel.hidden)
-    got = adapter.pair_logits(h1, h2, hsub)
-    want = np.concatenate(
-        [h1, h2, np.broadcast_to(hsub, h1.shape)], axis=-1) @ w + b
-    assert got.shape == (7, c)
-    assert np.allclose(got, want)
+    # pair_logits = concat(h1, h2, hql, hqr, hsub_s, hsub_e) @ w + b,
+    # broadcasting the two subject states; 're' and 'qre' select their
+    # own weight family (separate classifiers in the reference)
+    h1 = rng.standard_normal((7, h))
+    h2 = rng.standard_normal((7, h))
+    hql = rng.standard_normal((7, h))
+    hqr = rng.standard_normal((7, h))
+    hsub_s = rng.standard_normal(h)
+    hsub_e = rng.standard_normal(h)
+    feats = np.concatenate(
+        [h1, h2, hql, hqr,
+         np.broadcast_to(hsub_s, h1.shape),
+         np.broadcast_to(hsub_e, h1.shape)], axis=-1)
+    for fam in ("re", "qre"):
+        got = adapter.pair_logits(h1, h2, hql, hqr, hsub_s, hsub_e, fam)
+        want = feats @ heads[f"w_{fam}"] + heads[f"b_{fam}"]
+        assert got.shape == (7, c)
+        assert np.allclose(got, want)
+
+
+def test_adapter_requires_both_pair_head_families(fake_torch):
+    """A file with only the relation head is rejected: the qualifier
+    classifier (q_re_classifier_*) is a separate Linear triple in the
+    reference and must be exported too."""
+    ckpt, _ = fake_torch
+    from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
+
+    h = _FakeBertModel.hidden
+    rng = np.random.default_rng(23)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"),
+             w_re=rng.standard_normal((6 * h, 5)),
+             b_re=rng.standard_normal(5))
+    with pytest.raises(NotImplementedError, match="w_qre"):
+        TorchEncoderAdapter(ckpt, num_classes=5)
 
 
 def test_adapter_ner_head(fake_torch):
@@ -134,26 +173,24 @@ def test_adapter_ner_head(fake_torch):
 
     c, cn, h = 5, 4, _FakeBertModel.hidden
     rng = np.random.default_rng(13)
-    np.savez(os.path.join(ckpt, "nary_heads.npz"),
-             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c))
+    _save_pair_heads(ckpt, rng, c=c)
     adapter = TorchEncoderAdapter(ckpt, num_classes=c)
     h1 = rng.standard_normal((6, h))
     h2 = rng.standard_normal((6, h))
     with pytest.raises(NotImplementedError, match="ner_w"):
         adapter.span_logits(h1, h2, cn)
-    np.savez(os.path.join(ckpt, "nary_heads.npz"),
-             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c),
-             ner_w=rng.standard_normal((2 * h, cn)),
-             ner_b=rng.standard_normal(cn))
+    _save_pair_heads(ckpt, rng, c=c,
+                     ner_w=rng.standard_normal((2 * h, cn)),
+                     ner_b=rng.standard_normal(cn))
     adapter2 = TorchEncoderAdapter(ckpt, num_classes=c)
     got = adapter2.span_logits(h1, h2, cn)
     assert got.shape == (6, cn)
 
 
 def test_adapter_multi_schema_heads(fake_torch):
-    """head_logits loads per-head w_{v,q,qb,qc} linears ((4H, C_head) over
-    concat(h1, h2, hq, hsub)) and hard-errors on absent heads — the
-    event/role q2/q3 classifiers' export contract."""
+    """head_logits loads per-head w_{v,q,qb,qc} linears ((6H, C_head) over
+    concat(h1, h2, hql, hqr, hsub_s, hsub_e)) and hard-errors on absent
+    heads — the event/role q2/q3 classifiers' export contract."""
     ckpt, _ = fake_torch
     from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
 
@@ -161,30 +198,65 @@ def test_adapter_multi_schema_heads(fake_torch):
     rng = np.random.default_rng(17)
     heads = {}
     for name, cw in (("v", 4), ("q", 6), ("qb", 6), ("qc", 6)):
-        heads[f"w_{name}"] = rng.standard_normal((4 * h, cw))
+        heads[f"w_{name}"] = rng.standard_normal((6 * h, cw))
         heads[f"b_{name}"] = rng.standard_normal(cw)
-    np.savez(os.path.join(ckpt, "nary_heads.npz"),
-             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c),
-             **heads)
+    _save_pair_heads(ckpt, rng, c=c, **heads)
     adapter = TorchEncoderAdapter(ckpt, num_classes=c)
     h1 = rng.standard_normal((7, h))
     h2 = rng.standard_normal((7, h))
-    hq = rng.standard_normal((7, h))
-    hsub = rng.standard_normal(h)
+    hql = rng.standard_normal((7, h))
+    hqr = rng.standard_normal((7, h))
+    hsub_s = rng.standard_normal(h)
+    hsub_e = rng.standard_normal(h)
+    feats = np.concatenate(
+        [h1, h2, hql, hqr,
+         np.broadcast_to(hsub_s, h1.shape),
+         np.broadcast_to(hsub_e, h1.shape)], axis=-1)
     for hi, (name, cw) in enumerate(
             (("v", 4), ("q", 6), ("qb", 6), ("qc", 6))):
-        got = adapter.head_logits(h1, h2, hq, hsub, cw, hi)
-        want = np.concatenate(
-            [h1, h2, hq, np.broadcast_to(hsub, h1.shape)],
-            axis=-1) @ heads[f"w_{name}"] + heads[f"b_{name}"]
+        got = adapter.head_logits(h1, h2, hql, hqr, hsub_s, hsub_e, cw, hi)
+        want = feats @ heads[f"w_{name}"] + heads[f"b_{name}"]
         assert got.shape == (7, cw) and np.allclose(got, want)
 
     # absent multi heads are a hard error (never invented)
-    np.savez(os.path.join(ckpt, "nary_heads.npz"),
-             w=rng.standard_normal((3 * h, c)), b=rng.standard_normal(c))
+    _save_pair_heads(ckpt, rng, c=c)
     bare = TorchEncoderAdapter(ckpt, num_classes=c)
     with pytest.raises(NotImplementedError, match="w_qb"):
-        bare.head_logits(h1, h2, hq, hsub, 6, 2)
+        bare.head_logits(h1, h2, hql, hqr, hsub_s, hsub_e, 6, 2)
+
+
+def test_documented_export_key_set_loads(fake_torch):
+    """The EXACT key set the README's 'Exporting reference head weights'
+    recipe produces (w_re/b_re, w_qre/b_qre, w_v..w_qc, ner_w/ner_b)
+    loads with no remainder: every pair/multi/ner head is served from the
+    documented keys, so the copy-paste export is the whole production
+    story."""
+    ckpt, _ = fake_torch
+    from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
+
+    c, cn, h = 5, 4, _FakeBertModel.hidden
+    rng = np.random.default_rng(29)
+    keys = {}
+    for name in ("re", "qre", "v", "q", "qb", "qc"):
+        keys[f"w_{name}"] = rng.standard_normal((6 * h, c))
+        keys[f"b_{name}"] = rng.standard_normal(c)
+    keys["ner_w"] = rng.standard_normal((2 * h, cn))
+    keys["ner_b"] = rng.standard_normal(cn)
+    np.savez(os.path.join(ckpt, "nary_heads.npz"), **keys)
+    adapter = TorchEncoderAdapter(ckpt, num_classes=c)
+    # every documented head family is live
+    assert set(adapter.pair_heads) == {"re", "qre"}
+    assert set(adapter.multi_heads) == {"v", "q", "qb", "qc"}
+    assert adapter.ner_w is not None and adapter.ner_b is not None
+    h1, h2, hql, hqr = (rng.standard_normal((3, h)) for _ in range(4))
+    hs, he = rng.standard_normal(h), rng.standard_normal(h)
+    for fam in ("re", "qre"):
+        assert adapter.pair_logits(h1, h2, hql, hqr, hs, he,
+                                   fam).shape == (3, c)
+    for hi in range(4):
+        assert adapter.head_logits(h1, h2, hql, hqr, hs, he, c,
+                                   hi).shape == (3, c)
+    assert adapter.span_logits(h1, h2, cn).shape == (3, cn)
 
 
 def test_scorer_multi_on_fake_checkpoint(fake_torch):
@@ -195,11 +267,9 @@ def test_scorer_multi_on_fake_checkpoint(fake_torch):
     rng = np.random.default_rng(19)
     heads = {}
     for name, cw in (("v", 4), ("q", 6), ("qb", 6), ("qc", 6)):
-        heads[f"w_{name}"] = rng.standard_normal((4 * h, cw))
+        heads[f"w_{name}"] = rng.standard_normal((6 * h, cw))
         heads[f"b_{name}"] = rng.standard_normal(cw)
-    np.savez(os.path.join(ckpt, "nary_heads.npz"),
-             w=rng.standard_normal((3 * h, 4)), b=rng.standard_normal(4),
-             **heads)
+    _save_pair_heads(ckpt, rng, c=4, **heads)
     sc = ModelScorer(ckpt, max_seq_length=48, max_pair_length=8,
                      num_classes=4)
     ents = np.array([[1, 1], [3, 3], [5, 5]])
@@ -219,9 +289,7 @@ def test_scorer_end_to_end_on_fake_checkpoint(fake_torch):
     ckpt, model = fake_torch
     c = 7
     rng = np.random.default_rng(12)
-    np.savez(os.path.join(ckpt, "nary_heads.npz"),
-             w=rng.standard_normal((3 * _FakeBertModel.hidden, c)),
-             b=rng.standard_normal(c))
+    _save_pair_heads(ckpt, rng, c=c)
 
     sc = ModelScorer(ckpt, max_seq_length=48, max_pair_length=8,
                      num_classes=c)

@@ -56,8 +56,11 @@ class PipelineConfig:
     skew_cost_threshold: int = 1000  # E^3 above which the scoring stage salts
     score_chunk: int = 1024
 
-    # --eval_unidirect ablation (run_re.py:1291, 2652): decode every
-    # candidate ordering on its own raw logits — no 6-permutation ensemble
+    # --eval_unidirect flag (run_re.py:1291, 2652) — GRAFT-DEFINED
+    # semantics: decode every candidate ordering on its own raw logits, no
+    # 6-permutation ensemble.  The reference itself emits NO predictions
+    # under this flag (its unidirect decode branch is commented out); see
+    # decode_core.decode_sentence_unidirect
     eval_unidirect: bool = False
 
     # M5 — NER label source for the ner table / *_with_ner metrics

@@ -275,12 +275,19 @@ def decode_sentence_unidirect(
     space: LabelSpace,
     same_entity: bool = False,
 ) -> list[tuple]:
-    """The ``--eval_unidirect`` ablation decode (run_re.py:1291, 2652): no
-    6-permutation ensemble — every candidate ordering decodes its own raw
-    logits independently (no visited-set collapse, so all 6 orderings of a
-    triple are live candidates), with the same direction normalization and
-    NMS as the ensembled path.  Vectorized over the candidate rows in
-    enumeration order (= the oracle dict's insertion order)."""
+    """No-ensemble decode for the ``--eval_unidirect`` flag — GRAFT-DEFINED
+    semantics, not a reference-parity claim: in the reference the flag
+    SKIPS the whole decode (the else-branch at run_re.py:2177-2266 is
+    fully commented out; what survives is a pair-only decode with no
+    qualifier or direction normalization), so the reference emits NO
+    predictions under it.  This graft gives the flag the semantics its
+    name advertises: every candidate ordering decodes its own raw logits
+    independently (no 6-permutation ensemble, no visited-set collapse, so
+    all 6 orderings of a triple are live candidates), with the same
+    direction normalization and NMS as the ensembled path.  Parity-tested
+    against this repo's own oracle transcription only.  Vectorized over
+    the candidate rows in enumeration order (= the oracle dict's
+    insertion order)."""
     e = entities.shape[0]
     n = cand.shape[0]
     if e == 0 or n == 0:

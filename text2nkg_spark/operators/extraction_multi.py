@@ -110,12 +110,18 @@ def _rel_cell_to_dicts(cell) -> list[dict]:
 def _worker_scorer_multi(cfg: PipelineConfig):
     """One ModelScorer per python worker for the multi-schema path.
 
-    GENUINE weight sharing with the hyperrelation scorer: head widths are
-    explicit arguments to ``score_sentence_multi`` (the encoder's own
-    num_classes is irrelevant to ``head_logits``), so an already-loaded
+    GENUINE weight sharing with the hyperrelation scorer — in one
+    direction: head widths are explicit arguments to
+    ``score_sentence_multi`` (the encoder's own num_classes is irrelevant
+    to ``head_logits``), so the multi path reuses an already-loaded
     scorer with the same (checkpoint, seq/pair lengths, variant) — any
-    num_classes — is reused; a job mixing both paths on a real torch
-    checkpoint holds ONE model per worker, not two."""
+    num_classes.  The converse does NOT hold: ``_worker_model_scorer``
+    (extraction.py) keys on num_classes exactly, because hyperrelation's
+    ``score_sentence`` reads its output width from
+    ``encoder.num_classes`` — so a job that loads the multi path FIRST
+    still instantiates a second model for the hyperrelation path.  Load
+    hyperrelation first (or accept two models) when mixing both on a real
+    torch checkpoint."""
     from text2nkg_spark.operators.extraction import _WORKER_SCORERS
     from text2nkg_spark.operators.model_scorer import ModelScorer
 

@@ -220,13 +220,28 @@ class MiniEncoder:
         return out
 
     def pair_logits(self, h1: np.ndarray, h2: np.ndarray,
-                    hsub: np.ndarray) -> np.ndarray:
-        """(..., H) marker states + subject state -> (..., C) logits."""
+                    hql: np.ndarray, hqr: np.ndarray,
+                    hsub_s: np.ndarray, hsub_e: np.ndarray,
+                    head: str = "re") -> np.ndarray:
+        """Six (..., H) marker/subject states -> (..., C) logits.
+
+        The state set mirrors the reference head EXACTLY (modeling_bert.py:
+        2309-2325): object left/right markers, qualifier left/right
+        markers, subject start/end states — the reference sums three
+        Linear(2H) classifiers (m2 over the object pair, m3 over the
+        qualifier pair, m1 over the subject pair), i.e. one linear over the
+        6H concat.  ``head`` selects the relation ('re') vs qualifier
+        ('qre') classifier family — separate weights in the reference, so
+        separate salts here.  Distinct multipliers per state keep any
+        wiring bug (swapped marker, wrong qualifier) visible."""
         from text2nkg_spark.scoring_core import splitmix64
 
         c = np.arange(self.num_classes, dtype=np.int64).astype(np.uint64)
-        feats = (h1 * 3.0 + h2 * 5.0 + hsub * 7.0).sum(axis=-1)
-        key = splitmix64((feats * 1e6).astype(np.int64).astype(np.uint64))
+        feats = (h1 * 3.0 + h2 * 5.0 + hql * 17.0 + hqr * 19.0
+                 + hsub_s * 7.0 + hsub_e * 23.0).sum(axis=-1)
+        salt = {"re": 0xC0DE_0001, "qre": 0xC0DE_0002}[head]
+        key = splitmix64((feats * 1e6).astype(np.int64).astype(np.uint64)
+                         ^ splitmix64(np.uint64(salt)))
         grid = splitmix64(key[..., None] ^ splitmix64(c))
         return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
 
@@ -245,20 +260,24 @@ class MiniEncoder:
         grid = splitmix64(key[..., None] ^ splitmix64(c))
         return (grid >> np.uint64(11)).astype(np.float32) / np.float32(1 << 53)
 
-    def head_logits(self, h1: np.ndarray, h2: np.ndarray, hq: np.ndarray,
-                    hsub: np.ndarray, num_classes: int,
-                    head_idx: int) -> np.ndarray:
+    def head_logits(self, h1: np.ndarray, h2: np.ndarray,
+                    hql: np.ndarray, hqr: np.ndarray,
+                    hsub_s: np.ndarray, hsub_e: np.ndarray,
+                    num_classes: int, head_idx: int) -> np.ndarray:
         """Multi-schema n-ary heads (v/q/qb/qc): the event/role models
         carry EXTRA qualifier classifiers q2/q3 beyond hyperrelation's two
         (modeling_bert.py:2327-2335 — q2_re_classifier_m1..m3,
-        q3_re_classifier_m1..m3), each its own linear layer over the same
-        (subject, object-pair, qualifier-pair) states.  Here: one salted
-        deterministic head per index, consuming ALL FOUR states so any
-        wiring bug (wrong marker, swapped qualifier) changes the output."""
+        q3_re_classifier_m1..m3), each a per-head triple of Linear(2H)
+        classifiers over the same (subject-pair, object-pair,
+        qualifier-pair) states.  Here: one salted deterministic head per
+        index, consuming ALL SIX states — the same 6H feature set the
+        reference heads see — so any wiring bug (wrong marker, swapped
+        qualifier) changes the output."""
         from text2nkg_spark.scoring_core import splitmix64
 
         c = np.arange(num_classes, dtype=np.int64).astype(np.uint64)
-        feats = (h1 * 3.0 + h2 * 5.0 + hq * 17.0 + hsub * 7.0).sum(axis=-1)
+        feats = (h1 * 3.0 + h2 * 5.0 + hql * 17.0 + hqr * 19.0
+                 + hsub_s * 7.0 + hsub_e * 23.0).sum(axis=-1)
         key = splitmix64(
             (feats * 1e6).astype(np.int64).astype(np.uint64)
             ^ splitmix64(np.uint64(0xA5A5_0000 + head_idx)))
@@ -277,12 +296,25 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
       mask — HF's ``get_extended_attention_mask`` accepts a (B, T, T)
       mask, which is exactly what carries the levitated-marker visibility
       blocks — and the explicit position_ids mapping markers to span ends.
-    * ``pair_logits`` applies linear n-ary heads loaded from
-      ``nary_heads.npz`` (keys ``w``: (3H, C), ``b``: (C,)) in the
-      checkpoint dir.  The reference's fine-tuned heads live inside its
-      custom BertForNary fork; export them to that file — inventing head
-      weights would produce confidently-wrong facts, so their absence is a
-      hard error.
+    * ``pair_logits`` / ``head_logits`` apply linear n-ary heads loaded
+      from ``nary_heads.npz`` in the checkpoint dir.  Every head weight is
+      (6H, C) over the concat ``(h1, h2, hql, hqr, hsub_start, hsub_end)``
+      — EXACTLY the feature set the reference heads see, so the export is
+      lossless: the reference computes each score as a sum of three
+      Linear(2H) classifiers (modeling_bert.py:2309-2325) ``m2(concat(
+      obj_l, obj_r)) + m3(concat(q_l, q_r)) + m1(concat(sub_start,
+      sub_end))``, which is one linear over the 6H concat with
+
+          w = vstack(m2.weight.T, m3.weight.T, m1.weight.T)   # (6H, C)
+          b = m1.bias + m2.bias + m3.bias                     # (C,)
+
+      npz keys (see README 'Exporting reference head weights'):
+      ``w_re``/``b_re`` (re_classifier_m1..m3), ``w_qre``/``b_qre``
+      (q_re_classifier_m1..m3) — required; optional ``w_v``..``w_qc``
+      multi-schema heads and ``ner_w``/``ner_b`` (2H, C_ner).  The
+      reference's fine-tuned heads live inside its custom BertForNary
+      fork; export them to that file — inventing head weights would
+      produce confidently-wrong facts, so their absence is a hard error.
     """
 
     def __init__(self, checkpoint_dir: str, num_classes: int):
@@ -299,19 +331,33 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         if not os.path.exists(head_path):
             raise NotImplementedError(
                 f"no n-ary head weights at {head_path}; export the "
-                "reference's classifier heads (w: (3H, C), b: (C,)) — "
-                "see TorchEncoderAdapter docstring")
+                "reference's classifier heads (w_re/b_re, w_qre/b_qre: "
+                "(6H, C)/(C,)) — see README 'Exporting reference head "
+                "weights'")
         head = np.load(head_path)
-        self.head_w, self.head_b = head["w"], head["b"]
         self._head_path = head_path
+        # hyperrelation relation + qualifier classifier families —
+        # separate Linear triples in the reference (re_classifier_m1..m3 /
+        # q_re_classifier_m1..m3, modeling_bert.py:2230-2243), so separate
+        # required keys here; a missing family is a hard error, same
+        # policy as the file itself
+        self.pair_heads = {}
+        for name, key in (("re", "re"), ("qre", "qre")):
+            if f"w_{key}" not in head or f"b_{key}" not in head:
+                raise NotImplementedError(
+                    f"no w_{key}/b_{key} head weights in {head_path}; "
+                    "export the reference's classifier heads (6H, C) — "
+                    "see README 'Exporting reference head weights'")
+            self.pair_heads[name] = (head[f"w_{key}"], head[f"b_{key}"])
         # NER head is optional (only predicted-NER mode needs it); cached
         # here like the relation heads — never re-read in the scoring loop
         self.ner_w = head["ner_w"] if "ner_w" in head else None
         self.ner_b = head["ner_b"] if "ner_b" in head else None
         # multi-schema n-ary heads (v/q/qb/qc — the reference's per-schema
         # re/q_re/q2_re/q3_re classifier triples, modeling_bert.py:
-        # 2313-2335, exported pre-summed over m1/m2/m3 to one linear per
-        # head): optional keys w_v/b_v .. w_qc/b_qc, shape (4H, C_head)
+        # 2230-2256; per-schema output order at 2345-2386): optional keys
+        # w_v/b_v .. w_qc/b_qc, shape (6H, C_head) — the same lossless
+        # vstack(m2.T, m3.T, m1.T) layout as w_re (see class docstring)
         self.multi_heads = {
             name: (head[f"w_{name}"], head[f"b_{name}"])
             for name in MULTI_HEAD_NAMES
@@ -335,10 +381,18 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         return out.last_hidden_state.cpu().numpy()
 
     def pair_logits(self, h1: np.ndarray, h2: np.ndarray,
-                    hsub: np.ndarray) -> np.ndarray:
+                    hql: np.ndarray, hqr: np.ndarray,
+                    hsub_s: np.ndarray, hsub_e: np.ndarray,
+                    head: str = "re") -> np.ndarray:
+        """Linear over the 6H concat — lossless vs the reference's
+        m2(object pair) + m3(qualifier pair) + m1(subject pair) sum; see
+        the class docstring for the exact weight stacking."""
+        w, b = self.pair_heads[head]
         feats = np.concatenate(
-            [h1, h2, np.broadcast_to(hsub, h1.shape)], axis=-1)
-        return feats @ self.head_w + self.head_b
+            [h1, h2, hql, hqr,
+             np.broadcast_to(hsub_s, h1.shape),
+             np.broadcast_to(hsub_e, h1.shape)], axis=-1)
+        return feats @ w + b
 
     def span_logits(self, h1: np.ndarray, h2: np.ndarray,
                     num_classes: int) -> np.ndarray:
@@ -355,24 +409,30 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         assert out.shape[-1] == num_classes
         return out
 
-    def head_logits(self, h1: np.ndarray, h2: np.ndarray, hq: np.ndarray,
-                    hsub: np.ndarray, num_classes: int,
-                    head_idx: int) -> np.ndarray:
-        """Multi-schema n-ary head: linear over the concatenated
-        (object-left, object-right, qualifier, subject) states, weights
-        from ``w_{name}``/``b_{name}`` in nary_heads.npz (name in v/q/qb/qc
-        — the reference's re/q_re/q2_re/q3_re classifiers,
-        modeling_bert.py:2313-2335).  Absent keys are a hard error: fake
-        head weights would mean confidently-wrong facts."""
+    def head_logits(self, h1: np.ndarray, h2: np.ndarray,
+                    hql: np.ndarray, hqr: np.ndarray,
+                    hsub_s: np.ndarray, hsub_e: np.ndarray,
+                    num_classes: int, head_idx: int) -> np.ndarray:
+        """Multi-schema n-ary head: linear over the 6H concat (object
+        left/right, qualifier left/right, subject start/end), weights from
+        ``w_{name}``/``b_{name}`` in nary_heads.npz (name in v/q/qb/qc —
+        the reference's per-schema re/q_re/q2_re/q3_re classifier triples,
+        modeling_bert.py:2230-2256; output order 2345-2386).  Lossless vs
+        the reference's three-Linear sum — same stacking as w_re.  Absent
+        keys are a hard error: fake head weights would mean
+        confidently-wrong facts."""
         name = MULTI_HEAD_NAMES[head_idx]
         if name not in self.multi_heads:
             raise NotImplementedError(
                 f"no multi-schema head weights (w_{name}/b_{name}) in "
                 f"{self._head_path}; export the reference's per-schema "
-                "classifier heads — see TorchEncoderAdapter docstring")
+                "classifier heads — see README 'Exporting reference head "
+                "weights'")
         w, b = self.multi_heads[name]
         feats = np.concatenate(
-            [h1, h2, hq, np.broadcast_to(hsub, h1.shape)], axis=-1)
+            [h1, h2, hql, hqr,
+             np.broadcast_to(hsub_s, h1.shape),
+             np.broadcast_to(hsub_e, h1.shape)], axis=-1)
         out = feats @ w + b
         assert out.shape[-1] == num_classes
         return out
@@ -543,12 +603,21 @@ class ModelScorer:
         p = self.max_pair_length
         examples = self._build_examples(tokens, entities, cand)
         for h, batch, selb, ju, ku in self._encoded_examples(examples):
-            hsub = h[batch.sub_position[0]]
-            h1 = h[s + ju]        # object left markers per candidate
-            h2 = h[s + p + ju]    # object right markers per candidate
-            hq = h[s + ku] + h[s + p + ku]
-            rel[selb] = self.encoder.pair_logits(h1, h2, hsub)
-            qul[selb] = self.encoder.pair_logits(hq, h2, hsub)
+            # the six states every reference head consumes
+            # (modeling_bert.py:2309-2325): object markers (j), qualifier
+            # markers (k), subject start/end — kept DISTINCT (no summing)
+            # so a real-checkpoint export reproduces reference logits
+            # exactly
+            hsub_s = h[batch.sub_position[0]]
+            hsub_e = h[batch.sub_position[1]]
+            h1 = h[s + ju]         # object left markers per candidate
+            h2 = h[s + p + ju]     # object right markers per candidate
+            hql = h[s + ku]        # qualifier left markers
+            hqr = h[s + p + ku]    # qualifier right markers
+            rel[selb] = self.encoder.pair_logits(
+                h1, h2, hql, hqr, hsub_s, hsub_e, "re")
+            qul[selb] = self.encoder.pair_logits(
+                h1, h2, hql, hqr, hsub_s, hsub_e, "qre")
         return rel, qul
 
     def score_sentence_multi(
@@ -567,13 +636,15 @@ class ModelScorer:
         p = self.max_pair_length
         examples = self._build_examples(tokens, entities, cand)
         for h, batch, selb, ju, ku in self._encoded_examples(examples):
-            hsub = h[batch.sub_position[0]]
+            hsub_s = h[batch.sub_position[0]]
+            hsub_e = h[batch.sub_position[1]]
             h1 = h[s + ju]
             h2 = h[s + p + ju]
-            hq = h[s + ku] + h[s + p + ku]
+            hql = h[s + ku]
+            hqr = h[s + p + ku]
             for hi, c in enumerate(widths):
                 outs[hi][selb] = self.encoder.head_logits(
-                    h1, h2, hq, hsub, c, hi)
+                    h1, h2, hql, hqr, hsub_s, hsub_e, c, hi)
         return outs
 
     def predict_mention_ner(

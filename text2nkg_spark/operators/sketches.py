@@ -149,6 +149,12 @@ def nearest_rank_quantiles(
 
 # --------------------------------------------------------------- bloom
 
+# Largest bloom (in 32-bit words) bloom_filter_expr will inline as a plan
+# literal; 1024 words = 2^15 bits.  Above this, Catalyst's per-query walk
+# over the literal dominates (measured ~6 s at 8,192 words) and callers
+# must use bloom_filter_join (broadcast data) instead.
+_MAX_LITERAL_BLOOM_WORDS = 1024
+
 def _bloom_positions(key_col, bits: int, k: int, seed: int):
     """k md5-derived bit positions for a key — deterministic and
     reproducible in any engine with md5 (same house rule as KMV)."""
@@ -228,9 +234,17 @@ def bloom_filter_expr(
     analyzer/optimizer rule on every fresh query — measured ~6 s of
     driver-side planning per query at 2^18 bits (8,192 words), vs ~0 when
     the same array ships as broadcast data.  The literal shape is right
-    for small blooms (<= ~1k words) where predicate-pushdown placement
-    matters more than plan size.
+    for small blooms (<= 1024 words = 2^15 bits) where predicate-pushdown
+    placement matters more than plan size, and that bound is ENFORCED:
+    bigger word lists raise so the round-3 47-second literal-path
+    regression is unrepresentable through this API.
     """
+    if len(words) > _MAX_LITERAL_BLOOM_WORDS:
+        raise ValueError(
+            f"bloom_filter_expr got {len(words)} words "
+            f"(> {_MAX_LITERAL_BLOOM_WORDS}): a bloom this size as a plan "
+            "literal costs seconds of Catalyst planning per query — use "
+            "bloom_filter_join, which ships the bitmap as broadcast data")
     # ONE ArrayType Literal, not F.array(*[F.lit(w) ...]): an 8192-element
     # CreateArray is NOT constant-folded and re-evaluates per row per probe
     # (~25k-node expression tree; measured 9x slower on a 600k-row scan).
