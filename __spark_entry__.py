@@ -1106,6 +1106,74 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition stats (top unigram/bigram mass +
+    distinct-word ratio) — the boilerplate/template filter of LLM corpus
+    prep.  Top gram = highest count, ties to the lexicographically
+    smallest gram (total order, retry-stable); fractions are single
+    int/int IEEE divisions, bit-stable cross-engine."""
+    from text2nkg_spark.operators.textstats import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(d.select("doc_id", "text"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        "top_word",
+        F.col("top_word_n").cast("long").alias("top_word_n"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct_bigrams").cast("long").alias("n_distinct_bigrams"),
+        "top_bigram",
+        F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
+        "top_word_frac", "top_bigram_frac", "distinct_word_ratio",
+    )
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: docs with doc_id % 97 == 0 stand in
+    for the eval benchmark; every other doc reports the fraction of its
+    distinct word trigrams that appear in the benchmark.  The benchmark
+    shingle set BROADCASTS (plan-asserted) — the corpus side never
+    shuffles for the membership probe."""
+    from text2nkg_spark.operators.textstats import contamination_overlap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    cand = d.where(F.col("doc_id") % 97 != 0)
+    out = contamination_overlap(cand, bench, n=3, threshold=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "overlap_frac", "contaminated",
+    )
+
+
+def q_orders_pivot(spark, sf_dir):
+    """Relational PIVOT: per order priority, order counts and exact price
+    mass spread across the three order statuses as columns.  Counts
+    coalesce to 0 (SQL's count-FILTER convention); price sums go through
+    DECIMAL(18,4) so the aggregation is exact before the final double
+    cast (the pricing_summary discipline — double accumulation order is
+    not cross-engine stable)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+             .alias("price")))
+    cols = [F.col("o_orderpriority")]
+    for st in ("F", "O", "P"):
+        lo = st.lower()
+        cols.append(F.coalesce(F.col(f"{st}_n"), F.lit(0))
+                    .cast("long").alias(f"n_{lo}"))
+        cols.append(F.col(f"{st}_price").cast("double").alias(f"price_{lo}"))
+    return p.select(*cols)
+
+
 def _probe_dim(emb, vec_col: str = "embedding") -> int | None:
     """Vector length from the first row, or None (inline-md5 fallback) for
     an empty table / NULL first vector."""
@@ -1491,12 +1559,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # logits aren't SQL-expressible; parity is pytest-asserted) ------
         "nkg_model_role_extract": _q_model_multi("role"),
         "nkg_model_hypergraph_extract": _q_model_multi("hypergraph"),
+        # -- new r5 oracle-exact operators ------------------------------
+        "text_repetition": q_text_repetition,
+        "text_contamination": q_text_contamination,
+        "orders_pivot": q_orders_pivot,
         # -- oracle-backed, green in r4 (kept in the window) ------------
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_unidirect": q_nkg_gold_unidirect,
-        "nkg_gold_compacted": q_nkg_gold_compacted,
-        "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
         "nkg_entities": q_nkg_entities,
         "nkg_gold_event_extract": _q_gold_multi("event"),
         "nkg_gold_role_extract": _q_gold_multi("role"),
@@ -1512,7 +1582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_except_all": q_orders_except_all,
         "scalar_functions": q_scalar_functions,
         "window_functions": q_window_functions,
-        "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_dedup_minhash_signature,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1529,8 +1598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
         # ---------------- past the 50-entry driver window ----------------
-        # oracle-backed entries green in EVERY prior round's artifact
-        # (r1-r4) — their oracles still run in the pytest mirror
+        # oracle-backed entries green in multiple prior rounds' artifacts
+        # — their oracles still run in the pytest mirror
+        "nkg_gold_compacted": q_nkg_gold_compacted,
+        "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
+        "events_sessionize": q_events_sessionize,
         "nkg_doc_assembly": q_nkg_doc_assembly,
         "nkg_turn_invariant": q_nkg_turn_invariant,
         "nkg_mentions": q_nkg_mentions,
@@ -2114,6 +2186,100 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(grams, 'min') AS fp_min,
                    list_aggregate(grams, 'max') AS fp_max
             FROM g
+        """,
+        # top gram = max count, ties -> lexicographically smallest gram:
+        # min(struct(-n, gram)) — same struct comparison order in both
+        # engines; fractions are single int/int IEEE divisions
+        "text_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(toks) AS gram FROM base),
+            bi AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM base),
+            uc AS (SELECT doc_id, gram, count(*) AS n
+                   FROM uni GROUP BY doc_id, gram),
+            bc AS (SELECT doc_id, gram, count(*) AS n
+                   FROM bi GROUP BY doc_id, gram),
+            ua AS (SELECT doc_id,
+                          CAST(sum(n) AS BIGINT) AS n_words,
+                          CAST(count(*) AS BIGINT) AS n_distinct_words,
+                          min(struct_pack(neg := -n, g := gram)) AS b
+                   FROM uc GROUP BY doc_id),
+            ba AS (SELECT doc_id,
+                          CAST(sum(n) AS BIGINT) AS n_bigrams,
+                          CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                          min(struct_pack(neg := -n, g := gram)) AS b
+                   FROM bc GROUP BY doc_id)
+            SELECT ua.doc_id, ua.n_words, ua.n_distinct_words,
+                   (ua.b).g AS top_word,
+                   CAST(-(ua.b).neg AS BIGINT) AS top_word_n,
+                   ba.n_bigrams, ba.n_distinct_bigrams,
+                   (ba.b).g AS top_bigram,
+                   CAST(-(ba.b).neg AS BIGINT) AS top_bigram_n,
+                   CAST(-(ua.b).neg AS BIGINT) / ua.n_words
+                     AS top_word_frac,
+                   CAST(-(ba.b).neg AS BIGINT) / ba.n_bigrams
+                     AS top_bigram_frac,
+                   ua.n_distinct_words / ua.n_words AS distinct_word_ratio
+            FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+        """,
+        # benchmark = doc_id % 97 == 0; overlap over DISTINCT trigram
+        # shingles; the 0.5 threshold is CAST to DOUBLE (a bare literal
+        # parses as DECIMAL in DuckDB and compares differently)
+        "text_contamination": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents),
+            tri AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS gram
+              FROM base),
+            bench AS (SELECT DISTINCT gram FROM tri WHERE doc_id % 97 = 0),
+            cand AS (SELECT DISTINCT doc_id, gram FROM tri
+                     WHERE doc_id % 97 <> 0)
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_overlap,
+                   CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) / count(*) AS overlap_frac,
+                   (CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) / count(*)) >= CAST(0.5 AS DOUBLE)
+                     AS contaminated
+            FROM cand c LEFT JOIN bench b USING (gram)
+            GROUP BY c.doc_id
+        """,
+        # PIVOT as conditional aggregation; price mass sums in
+        # DECIMAL(18,4) before the double cast (exact — the
+        # pricing_summary discipline)
+        "orders_pivot": """
+            SELECT o_orderpriority,
+                   CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                        AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F'
+                            THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+                        AS DOUBLE) AS price_f,
+                   CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                        AS BIGINT) AS n_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+                        AS DOUBLE) AS price_o,
+                   CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                        AS BIGINT) AS n_p,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P'
+                            THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+                        AS DOUBLE) AS price_p
+            FROM orders GROUP BY o_orderpriority
         """,
         "emb_topk": """
             WITH q AS (

@@ -293,6 +293,62 @@ def test_textstats(spark, docs):
         assert a[k] == b[k]
 
 
+def test_repetition_stats_planted(spark):
+    """Known inputs: top gram counts, tie-break to the lexicographically
+    smallest gram, and exact fractions."""
+    from text2nkg_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c"),        # tie at 2: top word = 'a' (lex min)
+         (2, "x y x y x"),        # top word x(3); top bigram 'x y'(2)
+         (3, "solo")],            # one word: no bigrams -> NULLs
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_word == "a" and out[1].top_word_n == 2
+    assert out[1].n_words == 5 and out[1].n_distinct_words == 3
+    assert out[1].top_word_frac == 2 / 5
+    assert out[2].top_word == "x" and out[2].top_word_n == 3
+    assert out[2].top_bigram == "x y" and out[2].top_bigram_n == 2
+    assert out[2].n_bigrams == 4 and out[2].top_bigram_frac == 0.5
+    assert out[3].n_words == 1 and out[3].top_bigram is None
+    assert out[3].n_bigrams is None and out[3].top_bigram_frac is None
+
+
+def test_contamination_overlap_planted(spark):
+    """A doc sharing a trigram window with the benchmark reports exactly
+    the overlapping fraction; a disjoint doc reports 0; short docs drop."""
+    from text2nkg_spark.operators.textstats import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, "quick brown fox runs away"),   # shares 'quick brown fox'
+         (2, "totally different words here"),
+         (3, "too short")],                  # < 3 words: no shingles
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in contamination_overlap(cand, bench, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_shingles == 3 and out[1].n_overlap == 1
+    assert out[1].overlap_frac == 1 / 3 and not out[1].contaminated
+    assert out[2].n_overlap == 0 and out[2].overlap_frac == 0.0
+
+
+def test_contamination_bench_side_broadcasts(spark, docs):
+    """The benchmark shingle set must BROADCAST — the corpus side never
+    shuffles for the membership probe (the 100 TB shape: eval sets are
+    MBs, the corpus is not)."""
+    from text2nkg_spark.operators.textstats import contamination_overlap
+
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    cand = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    plan = (contamination_overlap(cand, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media_df(spark, n=30)
     feats = extract_features(media)

@@ -128,6 +128,99 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: most-frequent
+    unigram/bigram mass and the distinct-word ratio — the standard filters
+    for boilerplate- and loop-generated text in LLM corpus prep (docs
+    whose top bigram covers a large fraction of all bigrams are
+    template/spam-like).
+
+    Definition is total-ordered and retry-stable: the top gram is the
+    highest count with ties broken by the lexicographically SMALLEST gram.
+    Fractions are single IEEE divisions of exact integers (bit-stable in
+    any engine — no logs, no accumulation order).
+
+    Shape: per gram size, one (doc, gram) hash count (partial agg
+    map-side) then one per-doc agg where ``min(struct(-n, gram))`` picks
+    the top gram without a window sort — two keyed shuffles per gram
+    size, linear in corpus size; the 100 TB shape.  Docs with a single
+    word have no bigrams: left join, bigram columns NULL.
+    """
+    from text2nkg_spark.operators.dedup import exploded_word_ngrams
+
+    def top_agg(n: int, prefix: str) -> DataFrame:
+        cnt = (
+            exploded_word_ngrams(df, id_col, text_col, n)
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("n")))
+        best = F.min(F.struct(
+            (-F.col("n")).alias("neg"), F.col("gram").alias("g")))
+        return (
+            cnt.groupBy("doc_id")
+            .agg(F.sum("n").alias(f"n_{prefix}"),
+                 F.count(F.lit(1)).alias(f"n_distinct_{prefix}"),
+                 best.alias("_b"))
+            .select(
+                "doc_id", f"n_{prefix}", f"n_distinct_{prefix}",
+                F.col("_b.g").alias(f"top_{prefix[:-1]}"),
+                (-F.col("_b.neg")).alias(f"top_{prefix[:-1]}_n")))
+
+    uni = top_agg(1, "words")
+    bi = top_agg(2, "bigrams")
+    return (
+        uni.join(bi, "doc_id", "left")
+        .withColumn("top_word_frac", F.col("top_word_n") / F.col("n_words"))
+        .withColumn("top_bigram_frac",
+                    F.col("top_bigram_n") / F.col("n_bigrams"))
+        .withColumn("distinct_word_ratio",
+                    F.col("n_distinct_words") / F.col("n_words"))
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: for each candidate document, the
+    fraction of its DISTINCT word ``n``-gram shingles that appear anywhere
+    in the benchmark corpus — the standard train/eval overlap scan run
+    before training on a scraped corpus.
+
+    Scale shape: eval benchmarks are MBs while the corpus is the big
+    side, so the benchmark's distinct shingle set BROADCASTS and the
+    candidate side never shuffles for the membership probe — the only
+    wide operations are the candidate's own (doc, gram) distinct and the
+    per-doc count, both keyed hash aggregations.  Docs with fewer than
+    ``n`` words have no shingles and drop out (no rows).
+    """
+    from text2nkg_spark.operators.dedup import exploded_word_ngrams
+
+    bench = (
+        exploded_word_ngrams(bench_df, id_col, text_col, n)
+        .select("gram").distinct()
+        .withColumn("_hit", F.lit(1)))
+    cand = (
+        exploded_word_ngrams(df, id_col, text_col, n)
+        .select("doc_id", "gram").distinct())
+    return (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .cast("long").alias("n_overlap"))
+        .withColumn("overlap_frac", F.col("n_overlap") / F.col("n_shingles"))
+        .withColumn("contaminated", F.col("overlap_frac") >= threshold)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,
