@@ -870,6 +870,23 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_orders_cube(spark, sf_dir):
+    """Full cross-dimension subtotals (CUBE) — completes the
+    rollup/cube/grouping-sets trio.  GROUPING ids disambiguate subtotal
+    NULLs from data NULLs (ANSI-portable)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("total_price"),
+        )
+    )
+
+
 def q_orders_grouping_sets(spark, sf_dir):
     """Mixed GROUPING SETS — the grouping-sets coverage beyond ROLLUP:
     ((status, priority), (status), ()) with GROUPING ids disambiguating
@@ -1577,10 +1594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_fact_manifest": q_nkg_fact_manifest,
         "nkg_metrics_table": q_nkg_metrics_table,
         "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
         "orders_grouping_sets": q_orders_grouping_sets,
         "orders_anti_join": q_orders_anti_join,
         "orders_except_all": q_orders_except_all,
-        "scalar_functions": q_scalar_functions,
         "window_functions": q_window_functions,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_dedup_minhash_signature,
@@ -1603,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_compacted": q_nkg_gold_compacted,
         "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
         "events_sessionize": q_events_sessionize,
+        "scalar_functions": q_scalar_functions,
         "nkg_doc_assembly": q_nkg_doc_assembly,
         "nkg_turn_invariant": q_nkg_turn_invariant,
         "nkg_mentions": q_nkg_mentions,
@@ -1968,6 +1986,16 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "orders_grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,
