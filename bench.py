@@ -176,6 +176,10 @@ def main() -> None:
         "events_asof", "events_range_join", "events_percentiles",
         "text_tfidf_topk", "similarity_ivf_topk",
         "nkg_cooccurrence", "nkg_entity_degree", "bloom_semijoin",
+        # round-5 additions (headline 30 -> 34; BASELINE.md carries the
+        # old-set vs new-set accounting so round totals stay comparable)
+        "text_repetition", "text_contamination", "orders_pivot",
+        "orders_cube",
     ]
     qs = em.queries()
     for name in headline if HEADLINE else []:
