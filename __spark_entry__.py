@@ -2223,7 +2223,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      string_split(regexp_replace(lower(trim(text)),
                                                  '\\s+', ' ', 'g'), ' ') AS toks
-              FROM documents),
+              FROM documents WHERE trim(text) <> ''),
             uni AS (SELECT doc_id, unnest(toks) AS gram FROM base),
             bi AS (
               SELECT doc_id,

@@ -151,10 +151,12 @@ def test_adapter_shapes_and_head_matmul(fake_torch):
         assert np.allclose(got, want)
 
 
-def test_adapter_requires_both_pair_head_families(fake_torch):
-    """A file with only the relation head is rejected: the qualifier
-    classifier (q_re_classifier_*) is a separate Linear triple in the
-    reference and must be exported too."""
+def test_adapter_pair_head_families_lazy_required(fake_torch):
+    """A file with only the relation family LOADS (a role/hypergraph-only
+    export has no re_*/q_re_* heads and must still load for multi-schema
+    scoring), but scoring through the absent qualifier family is a hard
+    error at first use — the reference's q_re_classifier_* is a separate
+    Linear triple and is never invented."""
     ckpt, _ = fake_torch
     from text2nkg_spark.operators.model_scorer import TorchEncoderAdapter
 
@@ -163,8 +165,13 @@ def test_adapter_requires_both_pair_head_families(fake_torch):
     np.savez(os.path.join(ckpt, "nary_heads.npz"),
              w_re=rng.standard_normal((6 * h, 5)),
              b_re=rng.standard_normal(5))
+    adapter = TorchEncoderAdapter(ckpt, num_classes=5)
+    h1, h2, hql, hqr = (rng.standard_normal((3, h)) for _ in range(4))
+    hs, he = rng.standard_normal(h), rng.standard_normal(h)
+    assert adapter.pair_logits(h1, h2, hql, hqr, hs, he,
+                               "re").shape == (3, 5)
     with pytest.raises(NotImplementedError, match="w_qre"):
-        TorchEncoderAdapter(ckpt, num_classes=5)
+        adapter.pair_logits(h1, h2, hql, hqr, hs, he, "qre")
 
 
 def test_adapter_ner_head(fake_torch):

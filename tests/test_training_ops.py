@@ -301,9 +301,12 @@ def test_repetition_stats_planted(spark):
     df = spark.createDataFrame(
         [(1, "b b a a c"),        # tie at 2: top word = 'a' (lex min)
          (2, "x y x y x"),        # top word x(3); top bigram 'x y'(2)
-         (3, "solo")],            # one word: no bigrams -> NULLs
+         (3, "solo"),             # one word: no bigrams -> NULLs
+         (4, "   "),              # whitespace-only: NO row (not a
+         (5, "")],                # maximally-"diverse" 1-word doc)
         "doc_id long, text string")
     out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(out) == {1, 2, 3}
     assert out[1].top_word == "a" and out[1].top_word_n == 2
     assert out[1].n_words == 5 and out[1].n_distinct_words == 3
     assert out[1].top_word_frac == 2 / 5

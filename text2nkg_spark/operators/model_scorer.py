@@ -309,9 +309,12 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
           b = m1.bias + m2.bias + m3.bias                     # (C,)
 
       npz keys (see README 'Exporting reference head weights'):
-      ``w_re``/``b_re`` (re_classifier_m1..m3), ``w_qre``/``b_qre``
-      (q_re_classifier_m1..m3) — required; optional ``w_v``..``w_qc``
-      multi-schema heads and ``ner_w``/``ner_b`` (2H, C_ner).  The
+      ``w_re``/``b_re`` (re_classifier_m1..m3) + ``w_qre``/``b_qre``
+      (q_re_classifier_m1..m3) for hyperrelation scoring;
+      ``w_v``..``w_qc`` multi-schema heads; ``ner_w``/``ner_b``
+      (2H, C_ner).  Every family is optional at LOAD (a checkpoint only
+      has the families its schema creates) and a hard error at first
+      USE when absent.  The
       reference's fine-tuned heads live inside its custom BertForNary
       fork; export them to that file — inventing head weights would
       produce confidently-wrong facts, so their absence is a hard error.
@@ -339,16 +342,14 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         # hyperrelation relation + qualifier classifier families —
         # separate Linear triples in the reference (re_classifier_m1..m3 /
         # q_re_classifier_m1..m3, modeling_bert.py:2230-2243), so separate
-        # required keys here; a missing family is a hard error, same
-        # policy as the file itself
-        self.pair_heads = {}
-        for name, key in (("re", "re"), ("qre", "qre")):
-            if f"w_{key}" not in head or f"b_{key}" not in head:
-                raise NotImplementedError(
-                    f"no w_{key}/b_{key} head weights in {head_path}; "
-                    "export the reference's classifier heads (6H, C) — "
-                    "see README 'Exporting reference head weights'")
-            self.pair_heads[name] = (head[f"w_{key}"], head[f"b_{key}"])
+        # keys here.  OPTIONAL at load (a role-only or hypergraph-only
+        # export has no re_*/q_re_* families and must still load for
+        # multi-schema scoring); scoring through an absent family is a
+        # hard error at first use — same policy as the multi heads.
+        self.pair_heads = {
+            name: (head[f"w_{name}"], head[f"b_{name}"])
+            for name in ("re", "qre")
+            if f"w_{name}" in head and f"b_{name}" in head}
         # NER head is optional (only predicted-NER mode needs it); cached
         # here like the relation heads — never re-read in the scoring loop
         self.ner_w = head["ner_w"] if "ner_w" in head else None
@@ -386,7 +387,13 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
                     head: str = "re") -> np.ndarray:
         """Linear over the 6H concat — lossless vs the reference's
         m2(object pair) + m3(qualifier pair) + m1(subject pair) sum; see
-        the class docstring for the exact weight stacking."""
+        the class docstring for the exact weight stacking.  Absent
+        families are a hard error here (never invented weights)."""
+        if head not in self.pair_heads:
+            raise NotImplementedError(
+                f"no w_{head}/b_{head} head weights in {self._head_path}; "
+                "export the reference's classifier heads (6H, C) — see "
+                "README 'Exporting reference head weights'")
         w, b = self.pair_heads[head]
         feats = np.concatenate(
             [h1, h2, hql, hqr,

@@ -148,9 +148,14 @@ def repetition_stats(
     map-side) then one per-doc agg where ``min(struct(-n, gram))`` picks
     the top gram without a window sort — two keyed shuffles per gram
     size, linear in corpus size; the 100 TB shape.  Docs with a single
-    word have no bigrams: left join, bigram columns NULL.
+    word have no bigrams: left join, bigram columns NULL.  Empty /
+    whitespace-only docs emit NO rows (split('') would otherwise yield
+    one empty-string "word" and score a contentless doc as maximally
+    diverse).
     """
     from text2nkg_spark.operators.dedup import exploded_word_ngrams
+
+    df = df.where(F.trim(F.col(text_col)) != "")
 
     def top_agg(n: int, prefix: str) -> DataFrame:
         cnt = (
