@@ -2223,7 +2223,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      string_split(regexp_replace(lower(trim(text)),
                                                  '\\s+', ' ', 'g'), ' ') AS toks
-              FROM documents WHERE trim(text) <> ''),
+              FROM documents
+              WHERE trim(regexp_replace(lower(trim(text)),
+                                        '\\s+', ' ', 'g')) <> ''),
             uni AS (SELECT doc_id, unnest(toks) AS gram FROM base),
             bi AS (
               SELECT doc_id,

@@ -303,8 +303,9 @@ def test_repetition_stats_planted(spark):
          (2, "x y x y x"),        # top word x(3); top bigram 'x y'(2)
          (3, "solo"),             # one word: no bigrams -> NULLs
          (4, "   "),              # whitespace-only: NO row (not a
-         (5, "")],                # maximally-"diverse" 1-word doc)
-        "doc_id long, text string")
+         (5, ""),                 # maximally-"diverse" 1-word doc) —
+         (6, "\t\n \t")],         # incl. tab/newline-only (bare trim()
+        "doc_id long, text string")  # strips only ASCII spaces)
     out = {r.doc_id: r for r in repetition_stats(df).collect()}
     assert set(out) == {1, 2, 3}
     assert out[1].top_word == "a" and out[1].top_word_n == 2

@@ -334,9 +334,9 @@ class TorchEncoderAdapter:  # tensor plumbing covered by a fake torch in
         if not os.path.exists(head_path):
             raise NotImplementedError(
                 f"no n-ary head weights at {head_path}; export the "
-                "reference's classifier heads (w_re/b_re, w_qre/b_qre: "
-                "(6H, C)/(C,)) — see README 'Exporting reference head "
-                "weights'")
+                "classifier families YOUR checkpoint's schema creates "
+                "(each (6H, C)/(C,)) — see the per-schema recipe in "
+                "README 'Exporting reference head weights'")
         head = np.load(head_path)
         self._head_path = head_path
         # hyperrelation relation + qualifier classifier families —

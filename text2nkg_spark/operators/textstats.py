@@ -150,12 +150,14 @@ def repetition_stats(
     size, linear in corpus size; the 100 TB shape.  Docs with a single
     word have no bigrams: left join, bigram columns NULL.  Empty /
     whitespace-only docs emit NO rows (split('') would otherwise yield
-    one empty-string "word" and score a contentless doc as maximally
-    diverse).
+    empty-string "words" and score a contentless doc as maximally
+    diverse).  The filter trims the NORMALIZED text: bare trim() strips
+    only ASCII spaces, so a tab/newline-only doc would slip through it.
     """
-    from text2nkg_spark.operators.dedup import exploded_word_ngrams
+    from text2nkg_spark.operators.dedup import exploded_word_ngrams, \
+        normalize_text
 
-    df = df.where(F.trim(F.col(text_col)) != "")
+    df = df.where(F.trim(normalize_text(F.col(text_col))) != "")
 
     def top_agg(n: int, prefix: str) -> DataFrame:
         cnt = (
