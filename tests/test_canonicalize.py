@@ -106,6 +106,28 @@ def test_lsh_pairs_find_near_duplicates(spark):
     assert all("different" not in a and "different" not in b for a, b in found)
 
 
+def test_local_lsh_bit_identical_to_distributed(spark):
+    """The size-adaptive driver LSH (hashlib md5) must emit EXACTLY the
+    distributed plan's pairs — same signatures, same band hashes, same
+    ascending-surface bucket cap, same Jaccard doubles — including a
+    degenerate bucket that exercises the cap and a NULL surface."""
+    surfaces = [
+        "the quick brown fox jumps", "the quick brown fox jumped",
+        "the quick brown fox jump", "completely different string here",
+        "zzz unrelated thing", "ent1a ent1b", "ent1a ent1c", "ent1a",
+        None,
+    ] + [f"boiler plate line {i}" for i in range(12)]
+    df = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    for thr, cap in ((0.4, 4096), (0.5, 3)):
+        local = lsh_candidate_pairs(
+            df, jaccard_threshold=thr, max_bucket=cap)  # n <= threshold
+        dist = lsh_candidate_pairs(
+            df, jaccard_threshold=thr, max_bucket=cap, local_threshold=0)
+        lrows = sorted((r.a, r.b, r.jaccard) for r in local.collect())
+        drows = sorted((r.a, r.b, r.jaccard) for r in dist.collect())
+        assert lrows == drows and len(lrows) > 0
+
+
 def test_canonicalize_entities(spark):
     mentions = [
         ("c1", 0, 0, 0, "ent1a ent1b"),

@@ -25,6 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+# distinct-surface count at or below which canonicalize_entities runs the
+# whole LSH + union-find driver-side from one collect (surfaces grow far
+# slower than mentions; 5k surfaces is ~100 KB)
+_LOCAL_VOCAB_THRESHOLD = 5000
+
+
 def char_shingles(col, n: int = 3):
     """Distinct character n-grams of a string, as an array column (HOF)."""
     padded = F.concat(F.lit("^"), col, F.lit("$"))
@@ -58,6 +64,88 @@ def minhash_signature(shingles_col, num_hashes: int, seed: int = 42):
     )
 
 
+def _local_lsh_pair_rows(
+    surfaces: list,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
+    seed: int,
+    max_bucket: int,
+) -> list[tuple]:
+    """Driver-side twin of the distributed LSH path for SMALL surface
+    vocabularies — same md5 strings (hashlib md5 == Spark md5 on UTF-8),
+    same band hashes, same ascending-surface bucket cap, same exact
+    Jaccard verify, so the (a, b, jaccard) rows are bit-identical to the
+    Spark plan's output (asserted in tests/test_canonicalize.py).  Exists
+    because each distributed LSH run costs ~6 fixed-overhead Spark stages
+    (~2.3 s measured for 148 surfaces at sf0.1) — the same
+    size-adaptivity as connected_components' driver union-find."""
+    import hashlib
+    from collections import defaultdict
+
+    rows_per_band = num_hashes // bands
+
+    def _md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    info: dict[str, tuple[set, list]] = {}
+    for s in surfaces:
+        if s is None:  # NULL surfaces: the Spark path drops them too
+            continue   # (NULL shingles fail the size > 0 filter)
+        p = "^" + s + "$"
+        sh = list(dict.fromkeys(
+            p[i:i + shingle_n]
+            for i in range(max(len(p) - shingle_n, 0) + 1)
+            if len(p[i:i + shingle_n]) == shingle_n))
+        if not sh:
+            continue
+        sig = [min(_md5(f"{seed}|{h}|{g}") for g in sh)
+               for h in range(num_hashes)]
+        band_h = [
+            _md5(",".join(sig[b * rows_per_band:(b + 1) * rows_per_band]))
+            for b in range(bands)]
+        info[s] = (set(sh), band_h)
+
+    buckets: dict = defaultdict(list)
+    for s, (_sh, band_h) in info.items():
+        for b_id, h in enumerate(band_h):
+            buckets[(b_id, h)].append(s)
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        kept = members[:max_bucket] if max_bucket > 0 else members
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                cand.add((kept[i], kept[j]))
+    rows = []
+    for a, b in cand:
+        sa, sb = info[a][0], info[b][0]
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= jaccard_threshold:
+            rows.append((a, b, jac))
+    return rows
+
+
+def _union_find(edge_rows: list) -> dict:
+    """Path-halving union-find over (u, v) pairs -> {node: min-id root}."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
 def lsh_candidate_pairs(
     surfaces: DataFrame,
     surface_col: str = "surface",
@@ -67,6 +155,7 @@ def lsh_candidate_pairs(
     jaccard_threshold: float = 0.6,
     seed: int = 42,
     max_bucket: int = 4096,
+    local_threshold: int = 5000,
 ) -> DataFrame:
     """Near-duplicate surface pairs (a < b) verified by true Jaccard.
 
@@ -74,7 +163,23 @@ def lsh_candidate_pairs(
     Degenerate band buckets are truncated at ``max_bucket`` rows (surface
     order) — one boilerplate bucket must not become an unsplittable
     O(W^2) join task (see dedup.cap_bucket_width).
+
+    Size-adaptive like :func:`connected_components`: at or below
+    ``local_threshold`` distinct surfaces the whole LSH runs driver-side
+    (``_local_lsh_pairs`` — bit-identical md5/band/cap/verify semantics),
+    because the distributed plan's ~6 fixed-overhead stages dwarf a
+    few-thousand-entry vocabulary; above it, the shuffle plan below
+    scales to any corpus.  ``local_threshold=0`` forces the distributed
+    path.
     """
+    if local_threshold > 0:
+        head = surfaces.select(surface_col).limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            rows = _local_lsh_pair_rows(
+                [r[0] for r in head], num_hashes, bands, shingle_n,
+                jaccard_threshold, seed, max_bucket)
+            return surfaces.sparkSession.createDataFrame(
+                rows or [], "a string, b string, jaccard double")
     rows_per_band = num_hashes // bands
     sh = surfaces.select(
         F.col(surface_col).alias("s"),
@@ -130,27 +235,8 @@ def lsh_candidate_pairs(
 
 def _local_components(edge_rows: list, spark, node_type: str) -> DataFrame:
     """Driver-side union-find for small edge sets (exact same contract)."""
-    parent: dict = {}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for u, v in edge_rows:
-        parent.setdefault(u, u)
-        parent.setdefault(v, v)
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[max(ru, rv)] = min(ru, rv)
-    comp: dict = {}
-    for x in parent:
-        comp.setdefault(find(x), []).append(x)
-    rows = [
-        (x, min(members))
-        for _r, members in comp.items() for x in members
-    ]
+    roots = _union_find(edge_rows)
+    rows = list(roots.items())
     return spark.createDataFrame(
         rows or [], f"node {node_type}, component {node_type}")
 
@@ -265,21 +351,46 @@ def canonicalize_entities(
     distinct_surf = (
         mention_surfaces_df.select("surface").distinct().localCheckpoint())
 
-    pairs = lsh_candidate_pairs(
-        distinct_surf, "surface",
-        num_hashes=num_hashes, bands=bands,
-        jaccard_threshold=jaccard_threshold)
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    comp = connected_components(edges)
-    surf_comp = (
-        distinct_surf.join(
-            comp, distinct_surf["surface"] == comp["node"], "left")
-        .select(
-            "surface",
-            F.coalesce("component", "surface").alias("entity_id"),
+    # Size-adaptive fused fast path: small vocabularies (the common case —
+    # distinct SURFACES grow far slower than mentions) run LSH + union-find
+    # entirely driver-side from ONE collect and ship ONE small
+    # (surface, entity_id) frame back.  Chaining the generic operators
+    # would instead round-trip python-RDD-backed DataFrames through Spark
+    # three times (collect of a parallelized 700-row frame alone measures
+    # ~2.6 s in worker serde);  semantics are bit-identical to the
+    # distributed path (tests/test_canonicalize.py asserts both layers).
+    spark = mention_surfaces_df.sparkSession
+    head = distinct_surf.limit(_LOCAL_VOCAB_THRESHOLD + 1).collect()
+    small = len(head) <= _LOCAL_VOCAB_THRESHOLD
+    if small:
+        surfaces = [r[0] for r in head]
+        # same shingle_n/seed/max_bucket as the lsh_candidate_pairs
+        # defaults the distributed branch uses
+        pair_rows = _local_lsh_pair_rows(
+            surfaces, num_hashes, bands, 3, jaccard_threshold, 42, 4096)
+        roots = _union_find([(a, b) for a, b, _j in pair_rows])
+        sc_rows = [(s, roots.get(s, s)) for s in surfaces if s is not None]
+        surf_comp = spark.createDataFrame(
+            sc_rows or [], "surface string, entity_id string")
+    else:
+        pairs = lsh_candidate_pairs(
+            distinct_surf, "surface",
+            num_hashes=num_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold)
+        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        comp = connected_components(edges)
+        surf_comp = (
+            distinct_surf.join(
+                comp, distinct_surf["surface"] == comp["node"], "left")
+            .select(
+                "surface",
+                F.coalesce("component", "surface").alias("entity_id"),
+            )
         )
-    )
-    m2e = mention_surfaces_df.join(surf_comp, "surface")
+    # broadcast only the collected-small map; the distributed branch's
+    # surface->entity frame can be arbitrarily large and joins normally
+    m2e = mention_surfaces_df.join(
+        F.broadcast(surf_comp) if small else surf_comp, "surface")
     entities = (
         m2e.groupBy("entity_id")
         .agg(
