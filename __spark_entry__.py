@@ -887,6 +887,26 @@ def q_orders_cube(spark, sf_dir):
     )
 
 
+def q_lineitem_unpivot(spark, sf_dir):
+    """Relational UNPIVOT (wide -> long; the dual of orders_pivot):
+    lineitem's four money/quantity measures melt to (key, measure, value)
+    rows via ``stack`` — the canonical long-format feed for a generic
+    metrics sink.  Values pass through unchanged (no aggregation), so
+    doubles compare bit-exactly cross-engine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_orderkey") % 50 == 0)  # keep the entry compact
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.expr(
+                "stack(4, 'quantity', CAST(l_quantity AS DOUBLE), "
+                "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+                "'discount', CAST(l_discount AS DOUBLE), "
+                "'tax', CAST(l_tax AS DOUBLE)) AS (measure, value)"))
+    )
+
+
 def q_orders_grouping_sets(spark, sf_dir):
     """Mixed GROUPING SETS — the grouping-sets coverage beyond ROLLUP:
     ((status, priority), (status), ()) with GROUPING ids disambiguating
@@ -1580,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "orders_pivot": q_orders_pivot,
+        "lineitem_unpivot": q_lineitem_unpivot,
         # -- oracle-backed, green in r4 (kept in the window) ------------
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_extract": q_nkg_gold_extract,
@@ -1598,7 +1619,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": q_orders_grouping_sets,
         "orders_anti_join": q_orders_anti_join,
         "orders_except_all": q_orders_except_all,
-        "window_functions": q_window_functions,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_dedup_minhash_signature,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1621,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
         "events_sessionize": q_events_sessionize,
         "scalar_functions": q_scalar_functions,
+        "window_functions": q_window_functions,
         "nkg_doc_assembly": q_nkg_doc_assembly,
         "nkg_turn_invariant": q_nkg_turn_invariant,
         "nkg_mentions": q_nkg_mentions,
@@ -2288,6 +2309,27 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated
             FROM cand c LEFT JOIN bench b USING (gram)
             GROUP BY c.doc_id
+        """,
+        # UNPIVOT as its portable UNION ALL expansion — values pass
+        # through unchanged, so doubles are bit-exact
+        "lineitem_unpivot": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS INT) AS l_linenumber,
+                   'quantity' AS measure,
+                   CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            UNION ALL
+            SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT),
+                   'extendedprice', CAST(l_extendedprice AS DOUBLE)
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            UNION ALL
+            SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT),
+                   'discount', CAST(l_discount AS DOUBLE)
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            UNION ALL
+            SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT),
+                   'tax', CAST(l_tax AS DOUBLE)
+            FROM lineitem WHERE l_orderkey % 50 = 0
         """,
         # PIVOT as conditional aggregation; price mass sums in
         # DECIMAL(18,4) before the double cast (exact — the
