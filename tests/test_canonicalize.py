@@ -128,6 +128,31 @@ def test_local_lsh_bit_identical_to_distributed(spark):
         assert lrows == drows and len(lrows) > 0
 
 
+def test_canonicalize_branches_agree(spark):
+    """The fused driver-side branch and the distributed LSH+CC branch of
+    canonicalize_entities produce IDENTICAL entities on the same mentions
+    (local_vocab_threshold=0 forces the distributed composition, which no
+    small fixture would otherwise reach)."""
+    mentions = [
+        ("c1", 0, 0, 0, "ent1a ent1b"),
+        ("c2", 1, 2, 3, "ent1a ent1b"),
+        ("c1", 2, 0, 0, "ent1a ent1c"),
+        ("c3", 0, 4, 4, "ent99a"),
+        ("c3", 1, 5, 5, "the quick brown fox jumps"),
+        ("c3", 2, 5, 5, "the quick brown fox jumped"),
+    ]
+    df = spark.createDataFrame(
+        mentions,
+        "conv_id string, turn_idx int, start int, end int, surface string")
+    fast = canonicalize_entities(df, jaccard_threshold=0.4)
+    dist = canonicalize_entities(df, jaccard_threshold=0.4,
+                                 local_vocab_threshold=0)
+    for key in ("entities", "mention_to_entity"):
+        a = sorted(tuple(r) for r in fast[key].collect())
+        b = sorted(tuple(r) for r in dist[key].collect())
+        assert a == b and len(a) > 0
+
+
 def test_canonicalize_entities(spark):
     mentions = [
         ("c1", 0, 0, 0, "ent1a ent1b"),

@@ -30,6 +30,13 @@ from pyspark.sql import DataFrame, functions as F
 # slower than mentions; 5k surfaces is ~100 KB)
 _LOCAL_VOCAB_THRESHOLD = 5000
 
+# shared LSH parameters — the lsh_candidate_pairs signature defaults AND
+# the fused driver-side path in canonicalize_entities both read these, so
+# the two branches cannot silently diverge
+_SHINGLE_N = 3
+_LSH_SEED = 42
+_LSH_MAX_BUCKET = 4096
+
 
 def char_shingles(col, n: int = 3):
     """Distinct character n-grams of a string, as an array column (HOF)."""
@@ -89,6 +96,17 @@ def _local_lsh_pair_rows(
     def _md5(s: str) -> str:
         return hashlib.md5(s.encode("utf-8")).hexdigest()
 
+    # memoize per (hash, shingle): near-dup vocabularies (the whole point
+    # of LSH) share most shingles, so this cuts hashlib calls by the
+    # sharing factor
+    gram_md5: dict[tuple, str] = {}
+
+    def _gram_md5(h: int, g: str) -> str:
+        v = gram_md5.get((h, g))
+        if v is None:
+            v = gram_md5[(h, g)] = _md5(f"{seed}|{h}|{g}")
+        return v
+
     info: dict[str, tuple[set, list]] = {}
     for s in surfaces:
         if s is None:  # NULL surfaces: the Spark path drops them too
@@ -100,7 +118,7 @@ def _local_lsh_pair_rows(
             if len(p[i:i + shingle_n]) == shingle_n))
         if not sh:
             continue
-        sig = [min(_md5(f"{seed}|{h}|{g}") for g in sh)
+        sig = [min(_gram_md5(h, g) for g in sh)
                for h in range(num_hashes)]
         band_h = [
             _md5(",".join(sig[b * rows_per_band:(b + 1) * rows_per_band]))
@@ -151,11 +169,11 @@ def lsh_candidate_pairs(
     surface_col: str = "surface",
     num_hashes: int = 12,
     bands: int = 6,
-    shingle_n: int = 3,
+    shingle_n: int = _SHINGLE_N,
     jaccard_threshold: float = 0.6,
-    seed: int = 42,
-    max_bucket: int = 4096,
-    local_threshold: int = 5000,
+    seed: int = _LSH_SEED,
+    max_bucket: int = _LSH_MAX_BUCKET,
+    local_threshold: int = _LOCAL_VOCAB_THRESHOLD,
 ) -> DataFrame:
     """Near-duplicate surface pairs (a < b) verified by true Jaccard.
 
@@ -325,8 +343,12 @@ def canonicalize_entities(
     jaccard_threshold: float = 0.6,
     num_hashes: int = 12,
     bands: int = 6,
+    local_vocab_threshold: int = _LOCAL_VOCAB_THRESHOLD,
 ) -> dict[str, DataFrame]:
     """Full G4: mentions -> entities + mention_to_entity mapping.
+
+    ``local_vocab_threshold=0`` forces the distributed LSH + CC branch
+    (tests use it to assert both branches agree).
 
     mention_surfaces_df: (conv_id, turn_idx, start, end, surface).
     Returns dict with:
@@ -360,14 +382,17 @@ def canonicalize_entities(
     # ~2.6 s in worker serde);  semantics are bit-identical to the
     # distributed path (tests/test_canonicalize.py asserts both layers).
     spark = mention_surfaces_df.sparkSession
-    head = distinct_surf.limit(_LOCAL_VOCAB_THRESHOLD + 1).collect()
-    small = len(head) <= _LOCAL_VOCAB_THRESHOLD
+    head = distinct_surf.limit(local_vocab_threshold + 1).collect() \
+        if local_vocab_threshold > 0 else []
+    small = local_vocab_threshold > 0 and len(head) <= local_vocab_threshold
     if small:
         surfaces = [r[0] for r in head]
-        # same shingle_n/seed/max_bucket as the lsh_candidate_pairs
-        # defaults the distributed branch uses
+        # shared _SHINGLE_N/_LSH_SEED/_LSH_MAX_BUCKET constants — the
+        # same values the lsh_candidate_pairs signature defaults to, so
+        # the two branches cannot drift apart
         pair_rows = _local_lsh_pair_rows(
-            surfaces, num_hashes, bands, 3, jaccard_threshold, 42, 4096)
+            surfaces, num_hashes, bands, _SHINGLE_N, jaccard_threshold,
+            _LSH_SEED, _LSH_MAX_BUCKET)
         roots = _union_find([(a, b) for a, b, _j in pair_rows])
         sc_rows = [(s, roots.get(s, s)) for s in surfaces if s is not None]
         surf_comp = spark.createDataFrame(
@@ -376,7 +401,9 @@ def canonicalize_entities(
         pairs = lsh_candidate_pairs(
             distinct_surf, "surface",
             num_hashes=num_hashes, bands=bands,
-            jaccard_threshold=jaccard_threshold)
+            jaccard_threshold=jaccard_threshold,
+            local_threshold=0)  # smallness already decided above — don't
+        #                         re-collect the probe
         edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         comp = connected_components(edges)
         surf_comp = (
