@@ -1515,6 +1515,40 @@ def q_nkg_entity_degree(spark, sf_dir):
         "surface", "degree", "n_cooccurrences")
 
 
+def q_nkg_entity_cooccurrence(spark, sf_dir):
+    """The G4 north-star TAIL, driver-visible: the surface-level
+    co-occurrence graph re-keyed to canonical entity ids through
+    ``rekey_facts_to_entities`` (broadcast surface->entity map,
+    coalesce fallback for unmapped surfaces — canonicalize.py:~400) and
+    re-aggregated at entity grain.  Surfaces the LSH+CC merged collapse
+    onto one node: self-edges drop, parallel edges sum.  Endpoints
+    normalize least/greatest so the undirected edge is total-ordered."""
+    from text2nkg_spark.operators.canonicalize import (
+        canonicalize_entities, rekey_facts_to_entities)
+    from text2nkg_spark.operators.graph import mention_cooccurrence
+    from text2nkg_spark.operators.mentions import (
+        detect_mentions, mention_surfaces)
+
+    tr = _derived_transcripts(spark, sf_dir)
+    men = mention_surfaces(detect_mentions(tr, predicate=_dict_pred))
+    edges = mention_cooccurrence(men, "conv_id", "surface")
+    s2e = canonicalize_entities(men)["surface_to_entity"]
+    keyed = rekey_facts_to_entities(
+        edges.select(F.col("surface_a").alias("subj"),
+                     F.col("surface_b").alias("obj"), "n_groups"),
+        s2e.select("surface", "entity_id"))
+    return (
+        keyed.select(
+            F.least("subj_entity_id", "obj_entity_id").alias("entity_a"),
+            F.greatest("subj_entity_id", "obj_entity_id").alias("entity_b"),
+            "n_groups")
+        .where(F.col("entity_a") != F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.sum("n_groups").cast("long").alias("n_groups"),
+             F.count(F.lit(1)).cast("long").alias("n_surface_pairs"))
+    )
+
+
 def q_bloom_semijoin(spark, sf_dir):
     """Bloom-filter semi-join pruning: the urgent-orders key bloom (2^18
     bits / 8192 words, 3 hashes, md5-derived = engine-reproducible) ships
@@ -1589,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "nkg_cooccurrence": q_nkg_cooccurrence,
         "nkg_entity_degree": q_nkg_entity_degree,
+        "nkg_entity_cooccurrence": q_nkg_entity_cooccurrence,
         "pack_token_shards": q_pack_token_shards,
         "sketch_distinct_tokens": q_sketch_distinct_tokens,
         "sketch_bottomk_sample": q_sketch_bottomk_sample,
@@ -1614,7 +1649,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_label_vocab": q_nkg_label_vocab,
         "nkg_fact_manifest": q_nkg_fact_manifest,
         "nkg_metrics_table": q_nkg_metrics_table,
-        "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
         "orders_grouping_sets": q_orders_grouping_sets,
         "orders_anti_join": q_orders_anti_join,
@@ -1642,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "scalar_functions": q_scalar_functions,
         "window_functions": q_window_functions,
+        "orders_rollup": q_orders_rollup,
         "nkg_doc_assembly": q_nkg_doc_assembly,
         "nkg_turn_invariant": q_nkg_turn_invariant,
         "nkg_mentions": q_nkg_mentions,
@@ -1745,18 +1780,17 @@ def _simhash_oracle_sql(max_hamming: int = 6, max_bucket: int = 4096) -> str:
     """
 
 
-def _entities_oracle_sql(num_hashes: int = 12, bands: int = 6,
-                         seed: int = 42, jaccard: float = 0.6) -> str:
-    """DuckDB twin of operators.canonicalize.canonicalize_entities: char
-    3-gram shingles -> md5 minhash -> banded LSH pairs -> exact-Jaccard
-    verify -> connected components (recursive-CTE reachability over the
-    surface STRINGS themselves; component id = lexicographically-min
-    surface, exactly the Spark star-join/union-find contract) ->
-    per-entity aggregates."""
+def _s2e_ctes(num_hashes: int = 12, bands: int = 6,
+              seed: int = 42, jaccard: float = 0.6) -> str:
+    """The surface->entity CTE chain (``surf`` .. ``s2e``) shared by the
+    nkg_entities and nkg_entity_cooccurrence oracles: char 3-gram
+    shingles -> md5 minhash -> banded LSH pairs -> exact-Jaccard verify
+    -> connected components (recursive-CTE reachability over the surface
+    STRINGS; component id = lexicographically-min surface — exactly the
+    Spark star-join/union-find contract).  Expects a ``mentions`` CTE in
+    scope and a WITH RECURSIVE prelude."""
     rows = num_hashes // bands
-    return f"""
-        WITH RECURSIVE {_MENTIONS_CTE},
-        surf AS (SELECT DISTINCT surface FROM mentions),
+    return f"""surf AS (SELECT DISTINCT surface FROM mentions),
         shg AS (
           SELECT surface,
                  list_distinct(list_filter(list_transform(
@@ -1801,7 +1835,16 @@ def _entities_oracle_sql(num_hashes: int = 12, bands: int = 6,
         s2e AS (
           SELECT surf.surface,
                  COALESCE(comp.component, surf.surface) AS entity_id
-          FROM surf LEFT JOIN comp ON surf.surface = comp.node)
+          FROM surf LEFT JOIN comp ON surf.surface = comp.node)"""
+
+
+def _entities_oracle_sql(num_hashes: int = 12, bands: int = 6,
+                         seed: int = 42, jaccard: float = 0.6) -> str:
+    """DuckDB twin of operators.canonicalize.canonicalize_entities —
+    the shared s2e chain plus the per-entity aggregates."""
+    return f"""
+        WITH RECURSIVE {_MENTIONS_CTE},
+        {_s2e_ctes(num_hashes, bands, seed, jaccard)}
         SELECT entity_id,
                min(surface) AS canonical_surface,
                CAST(count(DISTINCT surface) AS BIGINT) AS n_surfaces,
@@ -2702,6 +2745,37 @@ def oracle_sql() -> dict[str, str]:
             FROM gs a JOIN gs b
               ON a.conv_id = b.conv_id AND a.surface < b.surface
             GROUP BY a.surface, b.surface
+        """,
+        # G4 north-star tail: surface co-occurrence edges re-keyed to
+        # canonical entities — the shared s2e chain joined onto both edge
+        # endpoints (COALESCE fallback mirrors rekey_facts_to_entities),
+        # least/greatest normalization, self-edges dropped, weights summed
+        "nkg_entity_cooccurrence": f"""
+            WITH RECURSIVE {_MENTIONS_CTE},
+            {_s2e_ctes()},
+            gsd AS (SELECT DISTINCT conv_id, surface FROM mentions),
+            gs AS (SELECT conv_id, surface FROM gsd
+                   QUALIFY row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY surface) <= 256),
+            e AS (
+              SELECT a.surface AS sa, b.surface AS sb,
+                     CAST(count(*) AS BIGINT) AS n_groups
+              FROM gs a JOIN gs b
+                ON a.conv_id = b.conv_id AND a.surface < b.surface
+              GROUP BY a.surface, b.surface),
+            ek AS (
+              SELECT COALESCE(m1.entity_id, e.sa) AS ea,
+                     COALESCE(m2.entity_id, e.sb) AS eb, e.n_groups
+              FROM e LEFT JOIN s2e m1 ON e.sa = m1.surface
+                     LEFT JOIN s2e m2 ON e.sb = m2.surface),
+            norm AS (
+              SELECT least(ea, eb) AS entity_a,
+                     greatest(ea, eb) AS entity_b, n_groups
+              FROM ek WHERE ea <> eb)
+            SELECT entity_a, entity_b,
+                   CAST(sum(n_groups) AS BIGINT) AS n_groups,
+                   CAST(count(*) AS BIGINT) AS n_surface_pairs
+            FROM norm GROUP BY entity_a, entity_b
         """,
         "nkg_entity_degree": f"""
             WITH {_MENTIONS_CTE},
