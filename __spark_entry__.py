@@ -1061,7 +1061,8 @@ def q_dedup_exact(spark, sf_dir):
     corpus_prep_pipeline's dedup stage)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     key = F.md5(F.substring(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 30))
+        F.trim(F.regexp_replace(
+        F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " ")), 1, 30))
     return (
         d.select(F.col("doc_id"), key.alias("content_hash"))
         .groupBy("content_hash")
@@ -1127,8 +1128,8 @@ def q_text_fingerprint(spark, sf_dir):
     tok = d.select(
         "doc_id",
         F.posexplode(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
-                                     r"\s+", " "), " ")).alias("pos", "t"))
+            F.split(F.trim(F.regexp_replace(
+        F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " ")), " ")).alias("pos", "t"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, 5)]
     grams = tok.select(
@@ -1385,7 +1386,8 @@ def q_corpus_prep_pipeline(spark, sf_dir):
 def _doc_tokens(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+        F.trim(F.regexp_replace(
+        F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " ")), " ")
     return d.select("lang", F.explode(toks).alias("tok"))
 
 
@@ -1518,7 +1520,8 @@ def q_nkg_entity_degree(spark, sf_dir):
 def q_nkg_entity_cooccurrence(spark, sf_dir):
     """The G4 north-star TAIL, driver-visible: the surface-level
     co-occurrence graph re-keyed to canonical entity ids through
-    ``rekey_facts_to_entities`` (broadcast surface->entity map,
+    ``rekey_facts_to_entities`` (surface->entity map broadcast ONLY when
+    the small-vocab branch produced it — threaded ``small_vocab`` flag;
     coalesce fallback for unmapped surfaces — canonicalize.py:~400) and
     re-aggregated at entity grain.  Surfaces the LSH+CC merged collapse
     onto one node: self-edges drop, parallel edges sum.  Endpoints
@@ -1532,11 +1535,15 @@ def q_nkg_entity_cooccurrence(spark, sf_dir):
     tr = _derived_transcripts(spark, sf_dir)
     men = mention_surfaces(detect_mentions(tr, predicate=_dict_pred))
     edges = mention_cooccurrence(men, "conv_id", "surface")
-    s2e = canonicalize_entities(men)["surface_to_entity"]
+    canon = canonicalize_entities(men)
+    # thread the branch flag: broadcast only when the map came from the
+    # small-vocab driver-side branch; the distributed branch's map is
+    # distinct-surface-sized and must join normally (canonicalize.py)
     keyed = rekey_facts_to_entities(
         edges.select(F.col("surface_a").alias("subj"),
                      F.col("surface_b").alias("obj"), "n_groups"),
-        s2e.select("surface", "entity_id"))
+        canon["surface_to_entity"].select("surface", "entity_id"),
+        broadcast_map=canon["small_vocab"])
     return (
         keyed.select(
             F.least("subj_entity_id", "obj_entity_id").alias("entity_a"),
@@ -1755,8 +1762,8 @@ def _simhash_oracle_sql(max_hamming: int = 6, max_bucket: int = 4096) -> str:
     return f"""
         WITH base AS (
           SELECT doc_id,
-                 string_split(regexp_replace(lower(trim(text)),
-                                             '\\s+', ' ', 'g'), ' ') AS toks
+                 string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
           FROM documents),
         tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
         h AS (SELECT doc_id, {_hex52_sql('t')} AS h FROM tok),
@@ -2152,8 +2159,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "dedup_exact": """
-            SELECT md5(substr(regexp_replace(lower(trim(text)),
-                                             '\\s+', ' ', 'g'), 1, 30))
+            SELECT md5(substr(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), 1, 30))
                      AS content_hash,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(min(doc_id) AS BIGINT) AS keeper
@@ -2162,8 +2169,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signature": """
             WITH base AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
               FROM documents),
             sh AS (
               SELECT doc_id,
@@ -2183,8 +2190,8 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id, lang,
                      len(text) // 64 AS lb,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
               FROM documents),
             sh0 AS (
               SELECT doc_id, lang, lb,
@@ -2209,8 +2216,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": """
             WITH base AS (
               SELECT doc_id, text,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
               FROM documents)
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -2227,8 +2234,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"""
             WITH base AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
               FROM documents),
             langs(lang, words) AS (VALUES {_LANGS_SQL}),
             scored AS (
@@ -2249,8 +2256,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": """
             WITH base AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks,
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks,
                      regexp_extract_all(lower(text),
                        '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS pieces
               FROM documents)
@@ -2265,8 +2272,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             WITH base AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
               FROM documents),
             g AS (
               SELECT doc_id,
@@ -2285,11 +2292,11 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": """
             WITH base AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
               FROM documents
-              WHERE trim(regexp_replace(lower(trim(text)),
-                                        '\\s+', ' ', 'g')) <> ''),
+              WHERE trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) <> ''),
             uni AS (SELECT doc_id, unnest(toks) AS gram FROM base),
             bi AS (
               SELECT doc_id,
@@ -2329,8 +2336,8 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination": """
             WITH base AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS toks
               FROM documents),
             tri AS (
               SELECT doc_id,
@@ -2474,12 +2481,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_pipeline": f"""
             WITH f AS (
               SELECT doc_id, text, lang,
-                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     md5(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
                        AS content_hash,
-                     CAST(len(string_split(regexp_replace(lower(trim(text)),
-                          '\\s+', ' ', 'g'), ' ')) AS INT) AS n_toks,
-                     CAST(len(list_distinct(string_split(regexp_replace(
-                          lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+                     CAST(len(string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS INT) AS n_toks,
+                     CAST(len(list_distinct(string_split(
+                          trim(regexp_replace(lower(text),
+                            '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')))
                           AS INT) AS n_uniq
               FROM documents),
             g AS (
@@ -2536,8 +2545,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_tokens": f"""
             WITH base AS (
               SELECT lang,
-                     unnest(string_split(regexp_replace(lower(trim(text)),
-                                         '\\s+', ' ', 'g'), ' ')) AS tok
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS tok
               FROM documents),
             dv AS (SELECT DISTINCT lang, tok FROM base),
             h AS (SELECT lang, tok,
@@ -2564,8 +2573,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_bottomk_sample": f"""
             WITH base AS (
               SELECT lang,
-                     unnest(string_split(regexp_replace(lower(trim(text)),
-                                         '\\s+', ' ', 'g'), ' ')) AS tok
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS tok
               FROM documents),
             dv AS (SELECT DISTINCT lang, tok FROM base),
             h AS (SELECT lang, tok,
@@ -2672,8 +2681,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": """
             WITH tok AS (
               SELECT doc_id,
-                     unnest(string_split(regexp_replace(lower(trim(text)),
-                                         '\\s+', ' ', 'g'), ' ')) AS term
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS term
               FROM documents),
             tok2 AS (SELECT * FROM tok WHERE length(term) >= 3),
             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -186,3 +186,51 @@ def test_rekey_facts_to_entities(spark):
     assert out.obj_entity_id == "canon2"
     # unmapped surface falls back to itself — total and collision-free
     assert out.value_entity_id == "ent3a"
+
+
+def test_rekey_broadcast_is_conditional(spark):
+    """VERDICT r5 #2: the rekey join must NOT force-broadcast the
+    surface->entity map when it came from the distributed (large-vocab)
+    branch — an unconditional F.broadcast of a distinct-surface-sized map
+    OOMs at 10^12-turn scale.  Force the distributed branch via
+    local_vocab_threshold=0 and assert no ResolvedHint on the analyzed
+    plan; thread the small-vocab flag and assert the hint IS present."""
+    from text2nkg_spark.operators.canonicalize import (
+        canonicalize_entities, rekey_facts_to_entities)
+
+    mentions = spark.createDataFrame(
+        [("c1", 0, 0, 0, "ent1a ent1b"),
+         ("c1", 1, 0, 0, "ent2a"),
+         ("c2", 0, 0, 0, "ent1a ent1c")],
+        "conv_id string, turn_idx int, start int, end int, surface string")
+    facts = spark.createDataFrame(
+        [("c1", 0, "[r]rel_0", "ent1a ent1b", "ent2a", "ent1a ent1c")],
+        "conv_id string, turn_idx int, rel string, subj string, "
+        "obj string, value string")
+
+    # distributed branch: small_vocab must be False and the threaded flag
+    # must leave the join hint-free (AQE may still *pick* broadcast from
+    # runtime sizes — that's fine; the bug was the forced hint)
+    dist = canonicalize_entities(mentions, local_vocab_threshold=0)
+    assert dist["small_vocab"] is False
+    keyed = rekey_facts_to_entities(
+        facts, dist["surface_to_entity"].select("surface", "entity_id"),
+        broadcast_map=dist["small_vocab"])
+    plan = keyed._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan
+    # and the output is identical to the small-branch rekey
+    small = canonicalize_entities(mentions)
+    assert small["small_vocab"] is True
+    keyed_b = rekey_facts_to_entities(
+        facts, small["surface_to_entity"].select("surface", "entity_id"),
+        broadcast_map=small["small_vocab"])
+    plan_b = keyed_b._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan_b
+    rows = {tuple(r) for r in keyed.collect()}
+    rows_b = {tuple(r) for r in keyed_b.collect()}
+    assert rows == rows_b
+
+    # default (None): bounded size probe — tiny map broadcasts
+    keyed_p = rekey_facts_to_entities(
+        facts, small["surface_to_entity"].select("surface", "entity_id"))
+    assert "ResolvedHint" in keyed_p._jdf.queryExecution().analyzed().toString()

@@ -384,3 +384,32 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     # keep-list = exactly one doc per cluster
     keepers = [d for d, (_c, k) in got.items() if k]
     assert sorted(keepers) == [0, 1, 4, 5]
+
+
+def test_normalize_text_pinned_whitespace(spark):
+    """ADVICE r5: (a) trim runs AFTER the whitespace collapse so leading
+    non-space whitespace can't leave an empty leading token; (b) the
+    whitespace class is pinned to [ \\t\\n\\r\\f\\x0B] so Java regex and
+    DuckDB RE2 agree on \\x0B (RE2's \\s excludes vertical tab).  Both
+    engines normalize a dirty doc to the same token list."""
+    import duckdb
+
+    from text2nkg_spark.operators.dedup import normalize_text
+
+    dirty = [
+        (1, "\thello"),              # leading tab: no empty token
+        (2, "a\x0bb"),               # vertical tab IS a separator
+        (3, "  x \n y\f"),           # mixed runs collapse, edges trim
+        (4, "\t\n \x0b"),            # whitespace-only -> ''
+    ]
+    df = spark.createDataFrame(dirty, "doc_id long, text string")
+    got = {r.doc_id: r.norm for r in df.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")).collect()}
+    assert got == {1: "hello", 2: "a b", 3: "x y", 4: ""}
+
+    con = duckdb.connect()
+    for doc_id, text in dirty:
+        duck = con.execute(
+            "SELECT trim(regexp_replace(lower(?), "
+            "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))", [text]).fetchone()[0]
+        assert duck == got[doc_id], (doc_id, duck, got[doc_id])

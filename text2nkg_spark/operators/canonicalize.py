@@ -189,6 +189,14 @@ def lsh_candidate_pairs(
     few-thousand-entry vocabulary; above it, the shuffle plan below
     scales to any corpus.  ``local_threshold=0`` forces the distributed
     path.
+
+    EAGER when ``local_threshold > 0``: the size probe collects
+    ``local_threshold + 1`` rows AT CALL TIME, so calling this function
+    triggers a (bounded) Spark job and — on the driver-side branch — the
+    returned pairs are frozen as of the call, not re-derived when the
+    returned DataFrame is later acted on.  Same contract as
+    :func:`connected_components`; pass ``local_threshold=0`` for a fully
+    lazy plan-builder.
     """
     if local_threshold > 0:
         head = surfaces.select(surface_col).limit(local_threshold + 1).collect()
@@ -427,26 +435,50 @@ def canonicalize_entities(
         )
     )
     return {"entities": entities, "mention_to_entity": m2e,
-            "surface_to_entity": surf_comp}
+            "surface_to_entity": surf_comp, "small_vocab": small}
 
 
 def rekey_facts_to_entities(
-    facts: DataFrame, surface_to_entity: DataFrame
+    facts: DataFrame,
+    surface_to_entity: DataFrame,
+    broadcast_map: bool | None = None,
 ) -> DataFrame:
     """G4 final step (north_star): main-triple facts re-keyed to canonical
     entity ids — subj/obj/value surfaces joined to their components.
 
-    Three broadcast-able joins against the (small relative to facts)
-    surface->entity map; unmatched surfaces (mentions outside the detected
-    vocabulary) fall back to their own surface as the entity id, so the
-    graph stays total and collision-free.
+    One left join per endpoint column against the surface->entity map;
+    unmatched surfaces (mentions outside the detected vocabulary) fall
+    back to their own surface as the entity id, so the graph stays total
+    and collision-free.
+
+    ``broadcast_map`` decides the join strategy, mirroring
+    :func:`canonicalize_entities`'s own branch on its mention join:
+
+    * ``True`` — the map is known driver-small (e.g. it came from the
+      small-vocab branch: thread ``canonicalize_entities(...)["small_vocab"]``
+      here); force ``F.broadcast``.
+    * ``False`` — the map is distinct-surface-sized and may be arbitrarily
+      large at scale; join normally (shuffle, or whatever AQE picks from
+      runtime sizes).  An unconditional broadcast here would OOM the
+      driver at billions of distinct surfaces.
+    * ``None`` (default) — probe with a bounded
+      ``limit(_LOCAL_VOCAB_THRESHOLD + 1).count()`` (early-terminating,
+      EAGER: runs a small Spark job at call time) and broadcast only if
+      the map fits under the same threshold the small-vocab branch uses.
     """
+    if broadcast_map is None:
+        broadcast_map = (
+            surface_to_entity.select("surface")
+            .limit(_LOCAL_VOCAB_THRESHOLD + 1).count()
+            <= _LOCAL_VOCAB_THRESHOLD)
 
     def attach(df: DataFrame, col: str) -> DataFrame:
         m = surface_to_entity.select(
             F.col("surface").alias(col),
             F.col("entity_id").alias(f"{col}_entity_id"))
-        return df.join(F.broadcast(m), col, "left").withColumn(
+        if broadcast_map:
+            m = F.broadcast(m)
+        return df.join(m, col, "left").withColumn(
             f"{col}_entity_id",
             F.coalesce(F.col(f"{col}_entity_id"), F.col(col)))
 

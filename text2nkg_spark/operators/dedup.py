@@ -31,8 +31,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 from text2nkg_spark.operators.similarity import hyperplane_bucket, md5_hash52
 
 
+# The one whitespace definition, pinned to an explicit class: Java's \s
+# and DuckDB's RE2 \s disagree on \x0B (vertical tab — Java includes it,
+# RE2 does not), which would break hash-exact oracle parity on dirty
+# docs.  The OUTER trim runs after the collapse, so leading/trailing
+# non-space whitespace ("\thello") cannot leave an empty leading token
+# when the normalized text is split on ' ' (bare trim strips ASCII
+# spaces only).  Every engine tokenization and every DuckDB oracle
+# mirrors this exact form — change them together or nothing matches.
+_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
 def normalize_text(col):
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(col), _WS_CLASS, " "))
 
 
 def exact_duplicates(

@@ -17,7 +17,12 @@ _STOPWORDS = {
 
 
 def _tokens(col) -> Column:
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    # canonical whitespace tokenization — dedup.normalize_text pins the
+    # whitespace class (\x0B differs between Java \s and DuckDB RE2 \s)
+    # and trims AFTER the collapse so "\thello" yields no empty token
+    from text2nkg_spark.operators.dedup import normalize_text
+
+    return F.split(normalize_text(col), " ")
 
 
 def language_scores(text_col) -> Column:
@@ -151,13 +156,14 @@ def repetition_stats(
     word have no bigrams: left join, bigram columns NULL.  Empty /
     whitespace-only docs emit NO rows (split('') would otherwise yield
     empty-string "words" and score a contentless doc as maximally
-    diverse).  The filter trims the NORMALIZED text: bare trim() strips
-    only ASCII spaces, so a tab/newline-only doc would slip through it.
+    diverse).  normalize_text now trims AFTER collapsing, so a
+    tab/newline-only doc normalizes to '' and the filter is a plain
+    inequality.
     """
     from text2nkg_spark.operators.dedup import exploded_word_ngrams, \
         normalize_text
 
-    df = df.where(F.trim(normalize_text(F.col(text_col))) != "")
+    df = df.where(normalize_text(F.col(text_col)) != "")
 
     def top_agg(n: int, prefix: str) -> DataFrame:
         cnt = (
