@@ -98,3 +98,50 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert "rel" in df.columns and "subj" in df.columns
+
+
+# VERDICT r5 #6: rows-only entries get only a row-count driver check, so a
+# future semantic drift would change the count SILENTLY between rounds.
+# Pin the exact current counts per scale factor; update a value HERE, with
+# a comment explaining the semantic change, whenever one is intended
+# (r4->r5 precedent: the model-scored counts legitimately moved when the
+# encoder head contract was widened to the reference's 6H feature set).
+_ROWS_ONLY_GOLDEN = {
+    "sf0.001": {
+        "nkg_extract_facts": 15232,
+        "nkg_model_extract": 15039,
+        "nkg_model_event_extract": 321,
+        "nkg_model_role_extract": 320,
+        "nkg_model_hypergraph_extract": 392,
+        "nkg_compacted": 10045,
+        "nkg_event_extract": 1253,
+        "nkg_role_extract": 1253,
+        "nkg_hypergraph_extract": 1253,
+    },
+    "sf0.01": {
+        "nkg_extract_facts": 14884,
+        "nkg_model_extract": 14889,
+        "nkg_model_event_extract": 321,
+        "nkg_model_role_extract": 320,
+        "nkg_model_hypergraph_extract": 392,
+        "nkg_compacted": 9993,
+        "nkg_event_extract": 1253,
+        "nkg_role_extract": 1253,
+        "nkg_hypergraph_extract": 1253,
+    },
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql())))
+def test_rows_only_counts_pinned(spark, name):
+    sf_key = os.path.basename(SF.rstrip("/"))
+    if sf_key not in _ROWS_ONLY_GOLDEN:
+        pytest.skip(f"no golden counts recorded for {sf_key}")
+    golden = _ROWS_ONLY_GOLDEN[sf_key]
+    assert set(golden) == set(entry_mod.queries()) - set(entry_mod.oracle_sql()), \
+        "rows-only entry set changed — record golden counts for the new entries"
+    got = entry_mod.queries()[name](spark, SF).count()
+    assert got == golden[name], (
+        f"{name}@{sf_key}: {got} rows vs pinned {golden[name]} — if this "
+        "change is intended, update _ROWS_ONLY_GOLDEN with a comment")
