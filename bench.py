@@ -228,6 +228,36 @@ def main() -> None:
         round_eff: dict[tuple[int, int], list[float]] = {
             (4, 16): [], (8, 32): []}
         round_controls: list[float] = []
+        # Window-quality gating (VERDICT r5 #1): burning a paired Spark
+        # round in a window whose OWN isolated-process control reads < ~0.85
+        # is hopeless — no software reads 0.8 on a box whose memory bus is
+        # that contended (BENCH_r05: all eight rounds 0.485-0.752 with
+        # controls 0.705-0.868).  So before each paired round, re-probe the
+        # cheap engine-core control and SLEEP + retry while the window is
+        # degraded, under one bounded global wait budget; every probe is
+        # published (control_probes in the detail file).  When the budget
+        # runs out the round proceeds anyway — the probe decides WHEN to
+        # spend a pair, never whether the ratio gets published.
+        ctrl_min = float(os.environ.get("SPARK_GRAFT_BENCH_CTRL_MIN", "0.85"))
+        wait_budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_WAIT_BUDGET_SEC", "240"))
+        wait_step = float(
+            os.environ.get("SPARK_GRAFT_BENCH_WAIT_STEP_SEC", "25"))
+        waited = 0.0
+        control_probes: list[dict] = []
+
+        def _window_control(rnd: int) -> float:
+            """Probe tenancy; sleep/re-probe while degraded and budget lasts."""
+            nonlocal waited
+            while True:
+                ctrl = _engine_core_scaling(n_iter=8)["efficiency_4_to_16"]
+                control_probes.append(
+                    {"round": rnd, "control": ctrl,
+                     "waited_sec": round(waited, 1)})
+                if ctrl >= ctrl_min or waited + wait_step > wait_budget:
+                    return ctrl
+                time.sleep(wait_step)
+                waited += wait_step
 
         def _visit(cores: int, rnd, rates_this: dict[int, float]) -> None:
             s = _make_session(cores, task_cpus=2)
@@ -247,8 +277,9 @@ def main() -> None:
             # processes, measured immediately before the Spark pair.  In a
             # degraded tenancy window (control < 0.8-ish) no software can
             # read 0.8 on this box; the round's Spark ratio is judged
-            # against the ceiling its own window allowed.
-            ctrl = _engine_core_scaling(n_iter=8)["efficiency_4_to_16"]
+            # against the ceiling its own window allowed.  _window_control
+            # sleeps (bounded) instead of burning a pair in a bad window.
+            ctrl = _window_control(rnd)
             round_controls.append(ctrl)
             rates_this: dict[int, float] = {}
             for cores in (4, 16):
@@ -282,6 +313,8 @@ def main() -> None:
         })
         scaling["visits"] = visits
         scaling["round_controls_4_to_16"] = round_controls
+        scaling["control_probes"] = control_probes  # every window probe
+        scaling["window_wait_sec"] = round(waited, 1)
         # the cleanest round and the control its window allowed, adjacent
         gate_round = max(
             range(len(round_eff[(4, 16)])),
@@ -349,6 +382,7 @@ def main() -> None:
         if k in (
             "efficiency_n_to_4n", "efficiency_4_to_16",
             "round_efficiencies_4_to_16", "gate_round_control",
+            "round_controls_4_to_16", "window_wait_sec",
             "efficiency_1_to_4", "round_efficiencies_1_to_4",
             "local4_turns_per_sec", "local8_turns_per_sec",
             "local16_turns_per_sec", "local32_turns_per_sec")
