@@ -288,12 +288,25 @@ def simhash_fingerprints(
         *[F.sum(F.shiftrightunsigned("h", b).bitwiseAND(one)).alias(f"c{b}")
           for b in range(SIMHASH_BITS)],
     )
-    sh = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"c{b}") * 2 > F.col("_n"),
-                      F.lit(1 << b).cast("long")
-                      ).otherwise(F.lit(0).cast("long"))
-        sh = term if sh is None else sh + term
+    # Fingerprint assembly as ONE fold over the 52 majority votes.  This is
+    # a deliberate exception to the "HOFs are the slow path" rule: the HOF
+    # runs on |docs| one-row-per-doc AGGREGATE OUTPUT (52 interpreted ops
+    # per document — noise next to the token-level agg above), while the
+    # chained 52-term when()+add projection it replaces cost ~0.7 s of
+    # DRIVER-side Catalyst/janino work per fresh query (measured sf0.1:
+    # 1.40 s -> 0.86 s fresh; balanced add trees and concat/conv variants
+    # measured WORSE, 1.7 s).  Planning cost, not execution — reused-plan
+    # runs were 0.39 s either way.  Values are bit-identical: exact integer
+    # arithmetic, same term order.
+    carr = F.array(*[F.col(f"c{b}") for b in range(SIMHASH_BITS)])
+    parr = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    sh = F.aggregate(
+        F.zip_with(
+            carr, parr,
+            lambda c, p: F.when(c * 2 > F.col("_n"), p)
+            .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
     return votes.select("doc_id", sh.alias("sh"))
 
 
@@ -308,7 +321,12 @@ def simhash_pairs(
     (pigeonhole guarantees recall for Hamming <= 3 WITHIN buckets below the
     max_bucket cap — a wider chunk bucket is truncated, see
     cap_bucket_width), verified by exact Hamming distance via bit_count.
-    The DuckDB oracle mirrors the cap with an identically-keyed QUALIFY."""
+    The DuckDB oracle mirrors the cap with an identically-keyed QUALIFY.
+
+    EAGER: the capped chunk table is localCheckpoint-ed before the
+    self-join (see inline note), so calling this function runs the
+    fingerprint job at call time and the returned pairs are frozen as of
+    the call — the same contract as lsh_candidate_pairs."""
     base = simhash_fingerprints(df, id_col, text_col)
     width = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << width) - 1
@@ -324,6 +342,16 @@ def simhash_pairs(
     )
     chunks = cap_bucket_width(
         chunks, ["chunk_id", "chunk"], "doc_id", max_bucket)
+    # EAGER: localCheckpoint materializes the capped chunk table ONCE
+    # before the self-join — the fingerprint pipeline above (full token
+    # scan + 52-vote aggregate) otherwise executes once PER JOIN SIDE
+    # (no ReusedExchange under AQE here, verified in the plan) and its
+    # plan subtree is analyzed twice.  At 100 TB the corpus scan is the
+    # dominant cost, so computing it once is the correct shape; the
+    # materialized frame is 4 rows/doc of (id, fingerprint, chunk).
+    # Same call-time-execution contract as lsh_candidate_pairs /
+    # connected_components (documented eager semantics).
+    chunks = chunks.localCheckpoint()
     cand = (
         chunks.alias("l")
         .join(
@@ -334,12 +362,16 @@ def simhash_pairs(
         )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
                 F.col("l.sh").alias("sha"), F.col("r.sh").alias("shb"))
-        .dropDuplicates(["a", "b"])
     )
+    # verify-then-dedup: the Hamming check is a per-row bitwise op on the
+    # joined row, so running it BEFORE dropDuplicates shrinks the dedup
+    # shuffle to verified pairs only (duplicate (a, b) rows carry
+    # identical fingerprints, so filter-then-dedup == dedup-then-filter).
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
         .select("a", "b", "hamming")
     )
 
