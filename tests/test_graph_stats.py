@@ -194,3 +194,96 @@ def test_ivf_centroids_skip_null_ids(spark):
     assert len(cents) == 3
     # the NULL-id vector ([1, 0]) must not be a centroid
     assert all(r.cell_vec != [1.0, 0.0] for r in cents)
+
+
+# ------------------------------------------------------------- pagerank
+
+def test_pagerank_hand_computed(spark):
+    """3-node path graph a-b, b-c (weights 1): ranks checked against the
+    integer recurrence worked BY HAND, so the operator's arithmetic can't
+    silently drift from the documented contract (which the DuckDB oracle
+    transcribes independently)."""
+    from text2nkg_spark.operators.graph import pagerank_iterations
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)],
+        "surface_a string, surface_b string, n_groups long")
+    S = 10**12
+    base = (15 * S) // 100
+    # out: a=1, b=2, c=1
+    # r1: a,c get (b: S//2) -> base + 85*(S//2)//100
+    #     b gets (a: S) + (c: S) -> base + 85*(2S)//100
+    r1a = base + (85 * (S // 2)) // 100
+    r1b = base + (85 * (2 * S)) // 100
+    # r2: a,c <- b/2; b <- r1a + r1c
+    r2a = base + (85 * (r1b // 2)) // 100
+    r2b = base + (85 * (2 * r1a)) // 100
+    # r3
+    r3a = base + (85 * (r2b // 2)) // 100
+    r3b = base + (85 * (2 * r2a)) // 100
+    got = {r.node: r.rank for r in pagerank_iterations(edges).collect()}
+    assert got == {"a": r3a, "b": r3b, "c": r3a}
+
+
+def test_pagerank_isolated_weight_safety(spark):
+    """contrib = (rank DIV strength) * w: a huge edge weight cannot
+    overflow a contribution past the sender's rank."""
+    from text2nkg_spark.operators.graph import pagerank_iterations
+
+    w = 10**15  # would overflow rank * w long before rank DIV s * w
+    edges = spark.createDataFrame(
+        [("a", "b", w)], "surface_a string, surface_b string, n_groups long")
+    got = {r.node: r.rank for r in pagerank_iterations(edges, iters=1)
+           .collect()}
+    S = 10**12
+    exp = (15 * S) // 100 + (85 * ((S // w) * w)) // 100
+    assert got == {"a": exp, "b": exp}
+
+
+# --------------------------------------------------------------- funnel
+
+def test_events_funnel_strict_ordering(spark, tmp_path):
+    """A click BEFORE the user's first view must not advance the funnel;
+    a click at the SAME microsecond must not either (strict >)."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # u1: full ordered funnel
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + us, 1, "click", 0.0, "{}"),
+        (3, t0 + 2 * us, 1, "purchase", 0.0, "{}"),
+        # u2: click strictly BEFORE first view -> stops at view
+        (4, t0, 2, "click", 0.0, "{}"),
+        (5, t0 + us, 2, "view", 0.0, "{}"),
+        # u3: click at the SAME microsecond as the view -> strict > fails
+        (6, t0, 3, "view", 0.0, "{}"),
+        (7, t0, 3, "click", 0.0, "{}"),
+        # u4: purchase with no view at all -> not in any stage
+        (8, t0, 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r.stage: r.n_users
+           for r in em.q_events_funnel(spark, str(tmp_path)).collect()}
+    assert got == {"1_view": 3, "2_click": 1, "3_purchase": 1}
+
+
+def test_events_props_uniform_json():
+    """The events_json_stats ORACLE extracts k by regex instead of JSON
+    (portability: no DuckDB json-extension dependency); that is only
+    value-equivalent while every props row is exactly {"k": <int>} — pin
+    the assumption against the driver-scale table."""
+    import duckdb
+
+    bad = duckdb.connect().execute(
+        "SELECT count(*) FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') "
+        "WHERE NOT regexp_matches(props, '^\\{\"k\": -?[0-9]+\\}$')"
+    ).fetchone()[0]
+    assert bad == 0

@@ -84,3 +84,69 @@ def cooccurrence_degree(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("degree"),
         F.sum("n_groups").cast("long").alias("n_cooccurrences"),
     )
+
+
+def pagerank_iterations(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    a_col: str = "surface_a",
+    b_col: str = "surface_b",
+    w_col: str = "n_groups",
+) -> DataFrame:
+    """Weighted PageRank power iterations over an undirected edge list,
+    in ALL-INTEGER arithmetic so every rank is bit-identical across
+    engines (the DuckDB oracle mirrors the recurrence with ``//``).
+
+    Recurrence (graft-defined, exactly specified):
+
+        r_0(v)     = scale
+        out(u)     = sum of w over u's incident edges (strength)
+        contrib    = (r_i(u) DIV out(u)) * w(u, v)     per directed edge
+        r_{i+1}(v) = ((damp_den - damp_num) * scale) DIV damp_den
+                     + (damp_num * sum_in(contrib)) DIV damp_den
+
+    Integer division BEFORE the weight multiply keeps every per-edge
+    contribution <= r_i(u), so contributions never overflow regardless of
+    edge weight.  Per-node in-sums are bounded by the total rank mass
+    N * scale: pick ``scale <= 9e18 / N`` for int64 safety (the default
+    1e12 is safe to ~9 million nodes; shrink it for larger graphs — ranks
+    only need enough integer headroom to separate, not absolute value).
+
+    EAGER: the loop-invariant adjacency (edges + strengths) is
+    localCheckpoint-ed once at call time — otherwise iteration i's plan
+    re-executes the full upstream edge pipeline i times (the mention
+    fold + self-join here is the expensive part, not the rank joins).
+    Each iteration is one keyed equi-join + one hash aggregate —
+    shuffle-partitioned by node id, no driver collection, scale-safe.
+    """
+    und = edges.select(
+        F.explode(F.array(
+            F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst"),
+                     F.col(w_col).alias("w")),
+            F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst"),
+                     F.col(w_col).alias("w")),
+        )).alias("_e")
+    ).select("_e.src", "_e.dst", F.col("_e.w").cast("long").alias("w"))
+    strength = und.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    adj = und.join(strength, "src").localCheckpoint()
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    base = ((damp_den - damp_num) * scale) // damp_den
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = adj.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst"),
+            (F.expr("rank div out_w") * F.col("w")).alias("c"))
+        in_sum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            in_sum.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (F.lit(base).cast("long")
+             + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}"))
+            .cast("long").alias("rank"))
+    return ranks
