@@ -1140,6 +1140,20 @@ def q_nkg_pagerank(spark, sf_dir):
         "node", "rank")
 
 
+def q_similarity_tfidf_cosine(spark, sf_dir):
+    """Inverted-index sparse pairwise similarity — the third similarity
+    family next to MinHash and dense-embedding ANN: integer tf-idf
+    weights (df-pruned vocabulary), exact integer dots/norms, and a
+    three-op IEEE cosine, so every float matches the DuckDB twin
+    bit-for-bit (textstats.tfidf_cosine_pairs has the full determinism
+    + scale-bound story)."""
+    from text2nkg_spark.operators.textstats import tfidf_cosine_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_cosine_pairs(d).select(
+        "doc_id", "partner", "cosine", "rank")
+
+
 # --------------------------------------------------------------------------
 # training-data ops on documents / embeddings
 # --------------------------------------------------------------------------
@@ -1763,7 +1777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_metrics_table": q_nkg_metrics_table,
         "orders_pivot": q_orders_pivot,
         "orders_cube": q_orders_cube,
-        "lineitem_unpivot": q_lineitem_unpivot,
         "multimodal_features": q_multimodal_features,
         "sample_stratified": q_sample_stratified,
         # -- NEW this round (need first driver rows) --------------------
@@ -1771,12 +1784,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "orders_cohort_retention": q_orders_cohort_retention,
         "nkg_pagerank": q_nkg_pagerank,
+        "similarity_tfidf_cosine": q_similarity_tfidf_cosine,
         # ---------------- past the 50-entry driver window ----------------
         # oracle-backed entries with fresh r5 driver rows, untouched this
-        # round — their oracles still run in the pytest mirror (4 more
+        # round — their oracles still run in the pytest mirror (5 more
         # slots yielded to the NEW entries above: grouping_sets,
-        # anti_join, except_all, sample_deterministic — all r5-green and
-        # untouched; rotate back in r7)
+        # anti_join, except_all, sample_deterministic, lineitem_unpivot —
+        # all r5-green and untouched; rotate back in r7)
+        "lineitem_unpivot": q_lineitem_unpivot,
         "orders_grouping_sets": q_orders_grouping_sets,
         "orders_anti_join": q_orders_anti_join,
         "orders_except_all": q_orders_except_all,
@@ -2860,6 +2875,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf, df,
                    CAST(rank AS INT) AS rank
             FROM rk WHERE rank <= 3
+        """,
+        # inverted-index pairwise cosine: integer weights (N*100 // df,
+        # df-pruned vocab), exact integer dots/norms, cosine =
+        # CAST(dot)/(sqrt(n2a)*sqrt(n2b)) — three correctly-rounded IEEE
+        # ops in the engine's exact order, so floats match bit-for-bit
+        "similarity_tfidf_cosine": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            tok2 AS (SELECT * FROM tok WHERE length(term) >= 3),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok2 GROUP BY doc_id, term),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+                   FROM tf),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+            v AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ((nd.n * 100) // dfq.df) AS w
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd
+              WHERE dfq.df <= 64),
+            nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM v GROUP BY doc_id),
+            p AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     sum(a.w * b.w) AS dot
+              FROM v a JOIN v b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            c AS (
+              SELECT p.da, p.db,
+                     CAST(p.dot AS DOUBLE)
+                       / (sqrt(CAST(na.n2 AS DOUBLE))
+                          * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+              FROM p JOIN nrm na ON p.da = na.doc_id
+                     JOIN nrm nb ON p.db = nb.doc_id),
+            u AS (SELECT da AS doc_id, db AS partner, cosine FROM c
+                  UNION ALL
+                  SELECT db AS doc_id, da AS partner, cosine FROM c),
+            r AS (
+              SELECT doc_id, partner, cosine,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cosine DESC, partner)
+                       AS rank
+              FROM u)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(partner AS BIGINT) AS partner, cosine,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
         # IVF ANN twin: same KMV-seeded centroids, same one-pass
         # assignment, same fold order for every float

@@ -180,9 +180,9 @@ def main() -> None:
         # old-set vs new-set accounting so round totals stay comparable)
         "text_repetition", "text_contamination", "orders_pivot",
         "orders_cube",
-        # round-6 additions (headline 34 -> 38)
+        # round-6 additions (headline 34 -> 39)
         "events_json_stats", "events_funnel", "orders_cohort_retention",
-        "nkg_pagerank",
+        "nkg_pagerank", "similarity_tfidf_cosine",
     ]
     qs = em.queries()
     for name in headline if HEADLINE else []:

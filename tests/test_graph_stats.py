@@ -287,3 +287,37 @@ def test_events_props_uniform_json():
         "WHERE NOT regexp_matches(props, '^\\{\"k\": -?[0-9]+\\}$')"
     ).fetchone()[0]
     assert bad == 0
+
+
+# ----------------------------------------------------- tfidf cosine pairs
+
+def test_tfidf_cosine_identical_docs(spark):
+    """Identical docs over a df-pruned vocabulary must reach cosine 1.0
+    exactly (integer dot == integer norm product); a common term in every
+    doc is pruned at max_df and never creates pairs on its own."""
+    from text2nkg_spark.operators.textstats import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma common"),
+        (2, "alpha beta gamma common"),
+        (3, "delta epsilon common"),
+        (4, "common zeta common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tfidf_cosine_pairs(df, max_df=3, top_k=5).collect()
+    by_pair = {(r.doc_id, r.partner): r.cosine for r in got}
+    assert by_pair[(1, 2)] == 1.0 and by_pair[(2, 1)] == 1.0
+    # docs 3 and 4 share only "common" (df=4 > max_df=3): no pair at all
+    assert all(d not in (3, 4) and p not in (3, 4) for d, p in by_pair)
+
+
+def test_tfidf_cosine_rank_determinism(spark):
+    """Ranking ties break on partner id; repeated runs are identical."""
+    from text2nkg_spark.operators.textstats import tfidf_cosine_pairs
+
+    rows = [(i, f"shared tok{i % 2} word{i}") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, tfidf_cosine_pairs(df, max_df=6).collect()))
+    b = sorted(map(tuple, tfidf_cosine_pairs(
+        df.repartition(7), max_df=6).collect()))
+    assert a == b and len(a) > 0
