@@ -1154,6 +1154,83 @@ def q_similarity_tfidf_cosine(spark, sf_dir):
         "doc_id", "partner", "cosine", "rank")
 
 
+def q_orders_merge_upsert(spark, sf_dir):
+    """Warehouse MERGE INTO as an engine operator (merge.merge_upsert):
+    a deterministic updates batch — every 10th order re-statused 'U'
+    with +1000.0 price, every 97th cloned to a NEW key — merged
+    latest-wins into the base table in ONE keyed shuffle.  The oracle is
+    the identical UNION ALL + QUALIFY latest-wins in SQL; dates project
+    as integer epoch-micros."""
+    from text2nkg_spark.operators.merge import merge_upsert
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    upd = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+            .withColumn("o_orderstatus", F.lit("N")))
+    )
+    m = merge_upsert(o, upd, keys=["o_orderkey"])
+    return m.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus", "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("od_us"),
+        "o_orderpriority")
+
+
+def q_events_sliding_window(spark, sf_dir):
+    """Hopping/sliding windows (1 h window, 30 min slide — every event in
+    exactly two windows) via the built-in ``F.window``, the batch twin of
+    the streaming windowed aggregation: per (window start, event type)
+    counts + distinct users, window starts as integer epoch-micros.  The
+    DuckDB twin derives the two epoch-aligned starts by integer division
+    — pinning that F.window's buckets are exactly epoch-aligned
+    multiples of the slide."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp"))
+            .alias("win_start_us"),
+            "event_type", "n", "n_users")
+    )
+
+
+def q_lineitem_salted_join(spark, sf_dir):
+    """Hot-key skew mitigation made driver-checkable: lineitem joins
+    orders through ``joins.salted_equi_join`` (fact side salted on the
+    line number, dimension side replicated n_salts ways), then
+    aggregates revenue per order priority.  The salt affects ROUTING
+    only — the oracle is the plain unsalted SQL join, so the driver
+    hash-check proves result-equivalence of the skew plan.  Sums go
+    through DECIMAL(18,4) (the pricing_summary discipline)."""
+    from text2nkg_spark.operators.joins import salted_equi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
+        "l_extendedprice", "l_discount")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority")
+    j = salted_equi_join(li, o, "o_orderkey", n_salts=8,
+                         salt_src="l_linenumber")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double").alias("gross"),
+        F.sum((F.col("l_extendedprice").cast("decimal(18,4)")
+               * F.col("l_discount").cast("decimal(18,4)"))
+              .cast("decimal(28,8)")).cast("double").alias("discount_amt"))
+
+
 # --------------------------------------------------------------------------
 # training-data ops on documents / embeddings
 # --------------------------------------------------------------------------
@@ -1775,22 +1852,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_label_vocab": q_nkg_label_vocab,
         "nkg_fact_manifest": q_nkg_fact_manifest,
         "nkg_metrics_table": q_nkg_metrics_table,
-        "orders_pivot": q_orders_pivot,
-        "orders_cube": q_orders_cube,
         "multimodal_features": q_multimodal_features,
-        "sample_stratified": q_sample_stratified,
         # -- NEW this round (need first driver rows) --------------------
         "events_json_stats": q_events_json_stats,
         "events_funnel": q_events_funnel,
         "orders_cohort_retention": q_orders_cohort_retention,
         "nkg_pagerank": q_nkg_pagerank,
         "similarity_tfidf_cosine": q_similarity_tfidf_cosine,
+        "orders_merge_upsert": q_orders_merge_upsert,
+        "events_sliding_window": q_events_sliding_window,
+        "lineitem_salted_join": q_lineitem_salted_join,
         # ---------------- past the 50-entry driver window ----------------
         # oracle-backed entries with fresh r5 driver rows, untouched this
-        # round — their oracles still run in the pytest mirror (5 more
-        # slots yielded to the NEW entries above: grouping_sets,
-        # anti_join, except_all, sample_deterministic, lineitem_unpivot —
-        # all r5-green and untouched; rotate back in r7)
+        # round — their oracles still run in the pytest mirror (8 slots
+        # yielded to the NEW entries above: grouping_sets, anti_join,
+        # except_all, sample_deterministic, sample_stratified,
+        # lineitem_unpivot, orders_pivot, orders_cube — all r5-green and
+        # untouched; rotate back in r7)
+        "orders_pivot": q_orders_pivot,
+        "orders_cube": q_orders_cube,
+        "sample_stratified": q_sample_stratified,
         "lineitem_unpivot": q_lineitem_unpivot,
         "orders_grouping_sets": q_orders_grouping_sets,
         "orders_anti_join": q_orders_anti_join,
@@ -2333,6 +2414,69 @@ def oracle_sql() -> dict[str, str]:
                      AS n_customers
             FROM o JOIN f USING (o_custkey)
             GROUP BY 1, 2
+        """,
+        # latest-wins merge: identical UNION ALL + QUALIFY recurrence
+        "orders_merge_upsert": """
+            WITH upd AS (
+              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, 'N',
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 97 = 0),
+            tagged AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority, 0 AS v FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority, 1 AS v FROM upd),
+            m AS (
+              SELECT * FROM tagged
+              QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                         ORDER BY v DESC) = 1)
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_orderstatus, o_totalprice,
+                   epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us,
+                   o_orderpriority
+            FROM m
+        """,
+        # every event in exactly two epoch-aligned 30-min-slide starts;
+        # the containment predicate is the general hopping-window rule
+        "events_sliding_window": """
+            WITH ev AS (
+              SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                     event_type, user_id
+              FROM events),
+            x AS (
+              SELECT us, event_type, user_id,
+                     unnest([(us // 1800000000) * 1800000000,
+                             (us // 1800000000) * 1800000000
+                               - 1800000000]) AS win_start_us
+              FROM ev)
+            SELECT win_start_us, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM x
+            WHERE us >= win_start_us AND us < win_start_us + 3600000000
+            GROUP BY 1, 2
+        """,
+        # the PLAIN unsalted join: the salt must be routing-only, so the
+        # driver hash-check proves the skew plan result-equivalent
+        "lineitem_salted_join": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) AS gross,
+                   CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                 * CAST(l.l_discount AS DECIMAL(18,4))
+                                 AS DECIMAL(28,8)))
+                        AS DOUBLE) AS discount_amt
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "dedup_exact": """
             SELECT md5(substr(trim(regexp_replace(lower(text),
