@@ -27,13 +27,14 @@ def salted_equi_join(
     """Equi-join ``skewed`` with ``other`` on ``key``, salted ``n_salts``
     ways.
 
-    The salt on the skewed side derives from ``salt_src`` (a column whose
-    per-key values spread, e.g. the fact table's line number — defaults
-    to the key's own row content via a stable hash of all columns is NOT
-    available generically, so callers pass one); ``other`` is replicated
-    ``n_salts`` times via an inline explode.  Replication cost is
-    |other| * n_salts — use for dimension-vs-fact skew, not for two huge
-    skewed sides (there, pre-aggregate or isolate the hot keys first).
+    The salt on the skewed side derives deterministically from
+    ``salt_src`` — a REQUIRED column whose values spread within each key
+    (a line number, an event id); there is no generic default because
+    hashing "all columns" silently breaks when callers add one.
+    ``other`` is replicated ``n_salts`` times via an inline explode.
+    Replication cost is |other| * n_salts — use for dimension-vs-fact
+    skew, not for two huge skewed sides (there, pre-aggregate or isolate
+    the hot keys first).
     """
     if salt_src is None:
         raise ValueError(

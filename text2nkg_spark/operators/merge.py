@@ -25,9 +25,13 @@ def merge_upsert(
     ``base``; new keys append.  Columns must match (unionByName).
 
     Winner per key = highest ``_version`` (updates get 1, base 0), then
-    the deterministic ``tiebreak`` columns DESCENDING (duplicate keys
-    WITHIN a side are resolved by tiebreak alone, so the result is a
-    function of the data, not of partitioning).  One shuffle on ``keys``.
+    the ``tiebreak`` columns DESCENDING.  Duplicate keys WITHIN a side
+    are resolved by tiebreak alone — PASS ONE whenever a side can carry
+    duplicates (a CDC batch with several updates per key), or the winner
+    among same-version duplicates depends on partition order.  With
+    unique keys per side (the usual upsert contract) no tiebreak is
+    needed and the result is fully data-determined.  One shuffle on
+    ``keys``.
     """
     tiebreak = tiebreak or []
     tagged = (
