@@ -1231,6 +1231,88 @@ def q_lineitem_salted_join(spark, sf_dir):
               .cast("decimal(28,8)")).cast("double").alias("discount_amt"))
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (textstats.pii_scrub) — the corpus-prep scrub every
+    training pipeline runs first.  The synthetic docs carry no PII, so a
+    deterministic planting derived from doc_id arithmetic (the repo's
+    planted-gold convention) injects an email into every doc_id % 3 == 0
+    doc and a phone into every doc_id % 5 == 0 doc BEFORE the scrub;
+    the oracle plants the identical strings.  Output per doc: match
+    counts, redacted length, and an md5 fingerprint of the redacted
+    text — so the hash check proves the replacement itself is
+    byte-identical, not just the counts."""
+    from text2nkg_spark.operators.textstats import pii_scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" reach user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call 555-"),
+                            F.lpad((F.col("doc_id") % 1000)
+                                   .cast("string"), 3, "0"),
+                            F.lit("-"),
+                            F.lpad((F.col("doc_id") % 10000)
+                                   .cast("string"), 4, "0")))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    s = pii_scrub(planted)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_emails", "n_phones",
+        F.length("redacted").cast("long").alias("red_len"),
+        F.md5(F.col("redacted")).alias("red_fp"))
+
+
+def q_nkg_triangles(spark, sf_dir):
+    """Triangle participation counts on the mention co-occurrence graph
+    (graph.triangle_counts): degree-oriented compact-forward enumeration
+    — each triangle materializes exactly once as the wedge at its
+    lowest-(degree, node) vertex — so the wedge join's fan-out is
+    bounded by O(sqrt(|E|)) per node even under hub skew.  The oracle
+    mirrors the orientation row-for-row (the rank is total: degree ties
+    break on the node id)."""
+    from text2nkg_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_mention_edges(spark, sf_dir)).select(
+        "node", "n_triangles")
+
+
+def q_events_resample_ffill(spark, sf_dir):
+    """Time-series regularization (temporal.resample_ffill): every
+    user_id % 10 == 0 user's event stream resampled onto a 1-hour
+    integer-epoch-micros grid spanning that user's own activity window,
+    gaps forward-filled from the deterministic last-in-bucket value
+    (max(struct(us, event_id, value)) — never an unordered first()).
+    The oracle regenerates the grid with unnest(generate_series) and
+    fills with last_value IGNORE NULLS."""
+    from text2nkg_spark.operators.temporal import resample_ffill
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") % 10 == 0)
+    r = resample_ffill(e, step_us=3_600_000_000)
+    return r.select(
+        F.col("key").cast("long").alias("user_id"),
+        "bucket_us", "value", "is_gap")
+
+
+def q_events_transitions(spark, sf_dir):
+    """Markov transition counts over per-user event sequences
+    (temporal.event_transitions): (prev_type, next_type, n) with the
+    sequence order pinned total by (epoch-micros, event_id).  One
+    window shuffle + one map-side-combinable count."""
+    from text2nkg_spark.operators.temporal import event_transitions
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(e).select("prev_type", "next_type", "n")
+
+
 # --------------------------------------------------------------------------
 # training-data ops on documents / embeddings
 # --------------------------------------------------------------------------
@@ -1840,7 +1922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_tokens": q_sketch_distinct_tokens,
         "sketch_bottomk_sample": q_sketch_bottomk_sample,
         # -- kept in the window (untouched; freshness <=2 rounds) -------
-        "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_unidirect": q_nkg_gold_unidirect,
         "nkg_entities": q_nkg_entities,
@@ -1848,9 +1929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_role_extract": _q_gold_multi("role"),
         "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
         "nkg_gold_pruned": q_nkg_gold_pruned,
-        "nkg_gold_comp_match": q_nkg_gold_comp_match,
-        "nkg_label_vocab": q_nkg_label_vocab,
-        "nkg_fact_manifest": q_nkg_fact_manifest,
         "nkg_metrics_table": q_nkg_metrics_table,
         "multimodal_features": q_multimodal_features,
         # -- NEW this round (need first driver rows) --------------------
@@ -1862,13 +1940,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": q_orders_merge_upsert,
         "events_sliding_window": q_events_sliding_window,
         "lineitem_salted_join": q_lineitem_salted_join,
+        "text_pii_scrub": q_text_pii_scrub,
+        "nkg_triangles": q_nkg_triangles,
+        "events_resample_ffill": q_events_resample_ffill,
+        "events_transitions": q_events_transitions,
         # ---------------- past the 50-entry driver window ----------------
         # oracle-backed entries with fresh r5 driver rows, untouched this
-        # round — their oracles still run in the pytest mirror (8 slots
+        # round — their oracles still run in the pytest mirror (12 slots
         # yielded to the NEW entries above: grouping_sets, anti_join,
         # except_all, sample_deterministic, sample_stratified,
-        # lineitem_unpivot, orders_pivot, orders_cube — all r5-green and
-        # untouched; rotate back in r7)
+        # lineitem_unpivot, orders_pivot, orders_cube, nkg_gold_pipeline,
+        # nkg_gold_comp_match, nkg_label_vocab, nkg_fact_manifest — all
+        # r5-green and untouched; rotate back in r7)
+        "nkg_gold_pipeline": q_nkg_gold_pipeline,
+        "nkg_gold_comp_match": q_nkg_gold_comp_match,
+        "nkg_label_vocab": q_nkg_label_vocab,
+        "nkg_fact_manifest": q_nkg_fact_manifest,
         "orders_pivot": q_orders_pivot,
         "orders_cube": q_orders_cube,
         "sample_stratified": q_sample_stratified,
@@ -2477,6 +2564,138 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        # identical planting (doc_id arithmetic), identical RE2/Java-safe
+        # patterns; the md5 of the redacted text proves the replacement
+        # is byte-identical, not just the counts
+        "text_pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' call 555-'
+                                  || lpad(CAST(doc_id % 1000 AS VARCHAR),
+                                          3, '0')
+                                  || '-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                          4, '0')
+                             ELSE '' END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                     regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+                       AS redacted
+              FROM planted)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   CAST(len(redacted) AS BIGINT) AS red_len,
+                   md5(redacted) AS red_fp
+            FROM s
+        """,
+        # degree-oriented compact-forward triangle enumeration — the rank
+        # (degree, node) is total, so the orientation (and therefore every
+        # wedge) is engine-exact
+        "nkg_triangles": f"""
+            WITH {_MENTIONS_CTE},
+            gsd AS (SELECT DISTINCT conv_id, surface FROM mentions),
+            gs AS (SELECT conv_id, surface FROM gsd
+                   QUALIFY row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY surface) <= 256),
+            e AS (
+              SELECT a.surface AS sa, b.surface AS sb
+              FROM gs a JOIN gs b
+                ON a.conv_id = b.conv_id AND a.surface < b.surface
+              GROUP BY 1, 2),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT sa AS node FROM e
+                    UNION ALL SELECT sb FROM e)
+              GROUP BY node),
+            o AS (
+              SELECT CASE WHEN da.d < db.d
+                               OR (da.d = db.d AND e.sa < e.sb)
+                          THEN e.sa ELSE e.sb END AS src,
+                     CASE WHEN da.d < db.d
+                               OR (da.d = db.d AND e.sa < e.sb)
+                          THEN e.sb ELSE e.sa END AS dst,
+                     CASE WHEN da.d < db.d
+                               OR (da.d = db.d AND e.sa < e.sb)
+                          THEN db.d ELSE da.d END AS dd
+              FROM e JOIN deg da ON e.sa = da.node
+                     JOIN deg db ON e.sb = db.node),
+            w AS (
+              SELECT e1.src, e1.dst AS m, e2.dst AS n
+              FROM o e1 JOIN o e2 ON e1.src = e2.src
+              WHERE e1.dd < e2.dd
+                 OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+            t AS (
+              SELECT w.src, w.m, w.n
+              FROM w JOIN o e3 ON e3.src = w.m AND e3.dst = w.n)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT src AS node FROM t
+                  UNION ALL SELECT m FROM t
+                  UNION ALL SELECT n FROM t)
+            GROUP BY node
+        """,
+        # grid regenerated with unnest(generate_series) on integer
+        # epoch-micros; bucket representative = max(struct(us, id, v))
+        # (ties impossible past the unique id); fill = last_value
+        # IGNORE NULLS over the same total order
+        "events_resample_ffill": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                     event_id, value
+              FROM events WHERE user_id % 10 = 0),
+            obs AS (
+              SELECT user_id, us - (us % 3600000000) AS bucket_us,
+                     (max(struct_pack(us := us, id := event_id,
+                                      v := value))).v AS v
+              FROM ev GROUP BY 1, 2),
+            g AS (SELECT user_id, min(bucket_us) AS mn,
+                         max(bucket_us) AS mx
+                  FROM obs GROUP BY user_id),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(mn, mx, 3600000000))
+                       AS bucket_us
+              FROM g),
+            j AS (
+              SELECT grid.user_id, grid.bucket_us, obs.v
+              FROM grid LEFT JOIN obs USING (user_id, bucket_us))
+            SELECT CAST(user_id AS BIGINT) AS user_id, bucket_us,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS value,
+                   CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT)
+                     AS is_gap
+            FROM j
+        """,
+        # sequence order pinned total by (epoch-micros, event_id)
+        "events_transitions": """
+            WITH ev AS (
+              SELECT user_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+              FROM events),
+            s AS (
+              SELECT event_type AS next_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id)
+                       AS prev_type
+              FROM ev)
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT md5(substr(trim(regexp_replace(lower(text),

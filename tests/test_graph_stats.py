@@ -321,3 +321,50 @@ def test_tfidf_cosine_rank_determinism(spark):
     b = sorted(map(tuple, tfidf_cosine_pairs(
         df.repartition(7), max_df=6).collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------------- triangles
+
+def test_triangles_k4(spark):
+    # K4: 4 triangles, every node participates in C(3,2) = 3 of them
+    from itertools import combinations
+
+    from text2nkg_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in combinations("abcd", 2)],
+        "surface_a string, surface_b string")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_path_graph_none(spark):
+    from text2nkg_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "surface_a string, surface_b string")
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangles_match_brute_force(spark):
+    # pseudo-random graph (deterministic arithmetic, no RNG) vs a brute
+    # n^3 enumeration — exercises degree ties, hubs, and orientation
+    from itertools import combinations
+
+    from text2nkg_spark.operators.graph import triangle_counts
+
+    nodes = [f"n{i:02d}" for i in range(12)]
+    edges = [(a, b) for i, a in enumerate(nodes)
+             for j, b in enumerate(nodes)
+             if i < j and (i * 7 + j * 13) % 3 != 0]
+    adj = set(edges)
+    expect: dict[str, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(
+        edges, "surface_a string, surface_b string")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expect

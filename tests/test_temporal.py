@@ -181,3 +181,65 @@ def test_asof_matches_pandas_merge_asof(spark):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+# ---------------------------------------------------------- resample_ffill
+
+def test_resample_ffill_hand_case(spark):
+    from text2nkg_spark.operators.temporal import resample_ffill
+
+    # user u1: events at t=0s (v=1.0) and t=25s (v=9.0); 10s grid ->
+    # buckets 0,10,20 with 10 and 20 forward-filled from t=0's value
+    rows = [
+        (1, "2024-01-01 00:00:00", "u1", 1.0),
+        (2, "2024-01-01 00:00:25", "u1", 9.0),
+        (3, "2024-01-01 00:00:05", "u2", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, value double")
+    got = sorted(
+        (r.key, r.bucket_us, r.value, r.is_gap)
+        for r in resample_ffill(df, step_us=10_000_000).collect())
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC epoch micros
+    assert got == [
+        ("u1", base, 1.0, 0),
+        ("u1", base + 10_000_000, 1.0, 1),
+        ("u1", base + 20_000_000, 9.0, 0),
+        ("u2", base, 5.0, 0),
+    ]
+
+
+def test_resample_bucket_representative_is_last(spark):
+    from text2nkg_spark.operators.temporal import resample_ffill
+
+    # two events in one bucket: the LATER timestamp wins; equal
+    # timestamps tie-break on the higher event_id — both deterministic
+    rows = [
+        (1, "2024-01-01 00:00:01", "u", 1.0),
+        (2, "2024-01-01 00:00:09", "u", 2.0),
+        (3, "2024-01-01 00:00:09", "u", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, value double")
+    [r] = resample_ffill(df, step_us=10_000_000).collect()
+    assert (r.value, r.is_gap) == (7.0, 0)
+
+
+def test_event_transitions_hand_case(spark):
+    from text2nkg_spark.operators.temporal import event_transitions
+
+    # u1: view -> click -> view; u2: view -> view.  Equal timestamps
+    # order by event_id (u2's rows share a second).
+    rows = [
+        (1, "2024-01-01 00:00:00", "u1", "view"),
+        (2, "2024-01-01 00:00:10", "u1", "click"),
+        (3, "2024-01-01 00:00:20", "u1", "view"),
+        (4, "2024-01-01 00:00:00", "u2", "view"),
+        (5, "2024-01-01 00:00:00", "u2", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, event_type string")
+    got = {(r.prev_type, r.next_type): r.n
+           for r in event_transitions(df).collect()}
+    assert got == {("view", "click"): 1, ("click", "view"): 1,
+                   ("view", "view"): 1}

@@ -413,3 +413,22 @@ def test_normalize_text_pinned_whitespace(spark):
             "SELECT trim(regexp_replace(lower(?), "
             "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))", [text]).fetchone()[0]
         assert duck == got[doc_id], (doc_id, duck, got[doc_id])
+
+
+def test_pii_scrub_planted(spark):
+    from text2nkg_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "write to a.b_c%x+1@mail-host.example.org today"),
+        (2, "call 555-867-5309 or 415-555-0000 now"),
+        (3, "both x@y.io and 111-222-3333 appear"),
+        (4, "clean text, no pii at all; 12-34 and a@b stay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_emails, r.n_phones, r.redacted)
+           for r in pii_scrub(df).collect()}
+    assert got[1] == (1, 0, "write to <EMAIL> today")
+    assert got[2] == (0, 2, "call <PHONE> or <PHONE> now")
+    assert got[3] == (1, 1, "both <EMAIL> and <PHONE> appear")
+    # partial look-alikes (no TLD, short digit groups) stay untouched
+    assert got[4] == (0, 0, rows[3][1])

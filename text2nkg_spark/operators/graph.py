@@ -150,3 +150,62 @@ def pagerank_iterations(
              + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}"))
             .cast("long").alias("rank"))
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str = "surface_a",
+    b_col: str = "surface_b",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (``a < b`` per row, no duplicates): ``(node, n_triangles)``.
+
+    Degree-oriented ("compact-forward") enumeration: every edge is
+    oriented from its lower-(degree, node) endpoint to the higher one,
+    so each triangle {a,b,c} materializes exactly once — as the wedge at
+    its lowest-ranked vertex closed by the third oriented edge.  The
+    wedge join fans out as sum(out-degree^2), and degree orientation
+    bounds out-degree by O(sqrt(|E|)) — the standard trick that keeps a
+    skewed hub (degree ~ millions) from scheduling a degree^2 block at
+    100 TB.  Two equi-joins + one explode + one hash agg; no driver
+    collection.  The rank is total (degree ties break on the node id),
+    so the DuckDB oracle mirrors it exactly.
+
+    EAGER: the oriented edge list is localCheckpoint-ed at call time —
+    it feeds three join legs, and re-running the upstream edge pipeline
+    (mention fold + self-join when fed from mention_cooccurrence) per
+    leg would triple the scan cost.
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "a")
+                  .withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+                 .withColumnRenamed("d", "db"), "b")
+    )
+    fwd = F.col("da") < F.col("db")
+    tie = (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    oriented = ranked.select(
+        F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd | tie, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint()
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("m"),
+                         F.col("dd").alias("md"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("n"),
+                         F.col("dd").alias("nd"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("md") < F.col("nd"))
+        | ((F.col("md") == F.col("nd")) & (F.col("m") < F.col("n"))))
+    closer = oriented.select(F.col("src").alias("m"),
+                             F.col("dst").alias("n"))
+    tri = wedges.join(closer, ["m", "n"])
+    return (
+        tri.select(F.explode(F.array("src", "m", "n")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

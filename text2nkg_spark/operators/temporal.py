@@ -169,3 +169,97 @@ def range_pair_counts(
         joined = joined.where(F.col("_pdv") != F.col("_dv"))
     return joined.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+def resample_ffill(
+    df: DataFrame,
+    step_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed grid with
+    forward fill — the time-series "resample + pad" every metrics
+    pipeline needs and Spark has no built-in for: one row per
+    ``(key, bucket)`` for every ``step_us`` bucket between the key's
+    first and last event, carrying the latest observed value at or
+    before that bucket.
+
+    Columns: ``(key, bucket_us, value, is_gap)`` — ``bucket_us`` the
+    grid point (integer epoch-micros, so the grid is engine-exact),
+    ``is_gap`` 1 where no event landed in the bucket and the value was
+    carried forward.
+
+    Deterministic bucket representative: ``max(struct(us, id, value))``
+    picks the LAST event in the bucket, ties on the unique id — never an
+    unordered ``first()``.  Shape: one per-(key,bucket) agg, one per-key
+    min/max agg, a ``sequence``-explode for the grid, one left join, one
+    ``last(ignorenulls)`` window — everything keyed and co-partitioned
+    by ``key``; grid width is bounded by (key's own span / step), so a
+    key contributes rows proportional to ITS activity span, never the
+    global range.  At 100 TB the step is the knob: the explode is the
+    only row-amplifying stage and its fan-out is span/step per key.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            (us - (us % F.lit(step_us))).alias("bucket_us"),
+            F.struct(us.alias("us"),
+                     F.col(id_col).alias("id"),
+                     F.col(value_col).alias("v")).alias("_o"))
+        .groupBy("key", "bucket_us")
+        .agg(F.max("_o").alias("_last"))
+        .select("key", "bucket_us", F.col("_last.v").alias("_v"))
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(F.min("bucket_us").alias("_mn"), F.max("bucket_us").alias("_mx"))
+        .select(
+            "key",
+            F.explode(F.sequence(
+                F.col("_mn"), F.col("_mx"),
+                F.lit(step_us).cast("long"))).alias("bucket_us"))
+    )
+    w = (
+        Window.partitionBy("key").orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(obs, ["key", "bucket_us"], "left")
+    return joined.select(
+        "key", "bucket_us",
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.when(F.col("_v").isNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("int").alias("is_gap"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order transition counts over per-key event sequences —
+    ``(prev_type, next_type, n)`` — the Markov-chain / session-bigram
+    view behind "what do users do after X" analytics and sequence-mining
+    feature prep.
+
+    Sequence order is total (timestamp, then the unique id — concurrent
+    events never give the engines different orders).  ONE shuffle: the
+    lag window partitions by key, the final count aggregates map-side
+    first.  No per-key collection, no explode — linear in |events| at
+    any scale.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us, F.col(id_col))
+    seq = df.select(
+        F.col(type_col).alias("next_type"),
+        F.lag(type_col).over(w).alias("prev_type"))
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -363,3 +363,42 @@ def tfidf_cosine_pairs(
         .select("doc_id", "partner", "cosine",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+# PII patterns pinned to the syntax both Java regex and RE2 (DuckDB)
+# interpret identically: no lookarounds, no backrefs, explicit classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """PII redaction — the corpus-prep step every LLM training pipeline
+    runs before anything else (no reference analogue; SURVEY.md §2.9
+    training-data family): emails and NANP-style phone numbers are
+    counted and replaced with stable placeholder tokens.
+
+    Adds ``n_emails``/``n_phones`` (match counts on the ORIGINAL text)
+    and ``redacted`` (emails replaced first, then phones — an email is
+    never half-eaten by the phone pattern).  Pure native ``regexp_count``
+    / ``regexp_replace`` projections: zero shuffle, codegen'd, linear
+    scan — annotating a 100 TB corpus is exactly one pass.  The patterns
+    avoid every Java-vs-RE2 divergence (no ``\\d``-vs-unicode-digit
+    ambiguity: explicit ``[0-9]``; no word boundaries) so the DuckDB
+    oracle matches byte-for-byte.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, email_token),
+        PII_PHONE_RE, phone_token)
+    return (
+        df.withColumn("n_emails",
+                      F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long"))
+        .withColumn("n_phones",
+                    F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long"))
+        .withColumn("redacted", red)
+    )
