@@ -1313,6 +1313,30 @@ def q_events_transitions(spark, sf_dir):
     return event_transitions(e).select("prev_type", "next_type", "n")
 
 
+def q_nkg_fuzzy_surfaces(spark, sf_dir):
+    """Fuzzy entity matching (dedup.edit1_fuzzy_pairs): all pairs of
+    distinct entity surfaces at Levenshtein distance 1, found by the
+    SymSpell deletion-neighborhood equi-join — never an all-pairs scan.
+    The vocabulary is the gold-corpus entity surface layout ('ent{d}a/
+    c/d' per doc_id — the planted-gold convention; the real mention
+    n-grams are whole-word sequences that never sit at distance 1, which
+    would make the check vacuous).  Typo-shaped collisions are dense
+    here: suffix substitutions (ent7a~ent7c) and digit edits
+    (ent10a~ent16a).  The oracle regenerates the identical variant lists
+    (DISTINCT (k, variant) mirrors array_union's dedup), the identical
+    64-wide bucket cap, and DuckDB's levenshtein, which agrees with
+    Spark's on the standard unit-cost metric."""
+    from text2nkg_spark.operators.dedup import edit1_fuzzy_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = d.select(
+        F.explode(F.array(*[
+            F.concat(F.lit("ent"), F.col("doc_id").cast("string"),
+                     F.lit(sfx))
+            for sfx in ("a", "c", "d")])).alias("surface"))
+    return edit1_fuzzy_pairs(vocab, "surface").select("key_a", "key_b")
+
+
 # --------------------------------------------------------------------------
 # training-data ops on documents / embeddings
 # --------------------------------------------------------------------------
@@ -1928,7 +1952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_event_extract": _q_gold_multi("event"),
         "nkg_gold_role_extract": _q_gold_multi("role"),
         "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
-        "nkg_gold_pruned": q_nkg_gold_pruned,
         "nkg_metrics_table": q_nkg_metrics_table,
         "multimodal_features": q_multimodal_features,
         # -- NEW this round (need first driver rows) --------------------
@@ -1944,14 +1967,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_triangles": q_nkg_triangles,
         "events_resample_ffill": q_events_resample_ffill,
         "events_transitions": q_events_transitions,
+        "nkg_fuzzy_surfaces": q_nkg_fuzzy_surfaces,
         # ---------------- past the 50-entry driver window ----------------
         # oracle-backed entries with fresh r5 driver rows, untouched this
-        # round — their oracles still run in the pytest mirror (12 slots
+        # round — their oracles still run in the pytest mirror (13 slots
         # yielded to the NEW entries above: grouping_sets, anti_join,
         # except_all, sample_deterministic, sample_stratified,
         # lineitem_unpivot, orders_pivot, orders_cube, nkg_gold_pipeline,
-        # nkg_gold_comp_match, nkg_label_vocab, nkg_fact_manifest — all
-        # r5-green and untouched; rotate back in r7)
+        # nkg_gold_comp_match, nkg_label_vocab, nkg_fact_manifest,
+        # nkg_gold_pruned — all r5-green and untouched; rotate back r7)
+        "nkg_gold_pruned": q_nkg_gold_pruned,
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_comp_match": q_nkg_gold_comp_match,
         "nkg_label_vocab": q_nkg_label_vocab,
@@ -2680,6 +2705,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT)
                      AS is_gap
             FROM j
+        """,
+        # SymSpell deletion-neighborhood blocking + levenshtein verify;
+        # DISTINCT (k, var) mirrors the engine's array_union dedup, the
+        # QUALIFY mirrors cap_bucket_width's 64-wide deterministic cap
+        "nkg_fuzzy_surfaces": """
+            WITH s AS (
+              SELECT DISTINCT 'ent' || CAST(doc_id AS VARCHAR) || sfx AS k
+              FROM documents, (VALUES ('a'), ('c'), ('d')) t(sfx)),
+            vr AS (
+              SELECT DISTINCT k, var FROM (
+                SELECT k,
+                       unnest(list_prepend(k, list_transform(
+                         range(0, len(k)),
+                         i -> substr(k, 1, i) || substr(k, i + 2))))
+                         AS var
+                FROM s)),
+            capped AS (
+              SELECT k, var FROM vr
+              QUALIFY row_number() OVER (PARTITION BY var
+                                         ORDER BY k) <= 64),
+            cand AS (
+              SELECT DISTINCT a.k AS key_a, b.k AS key_b
+              FROM capped a JOIN capped b
+                ON a.var = b.var AND a.k < b.k)
+            SELECT key_a, key_b FROM cand
+            WHERE levenshtein(key_a, key_b) <= 1
         """,
         # sequence order pinned total by (epoch-micros, event_id)
         "events_transitions": """

@@ -432,3 +432,43 @@ def test_pii_scrub_planted(spark):
     assert got[3] == (1, 1, "both <EMAIL> and <PHONE> appear")
     # partial look-alikes (no TLD, short digit groups) stay untouched
     assert got[4] == (0, 0, rows[3][1])
+
+
+def test_edit1_fuzzy_pairs_semantics(spark):
+    from text2nkg_spark.operators.dedup import edit1_fuzzy_pairs
+
+    rows = [("cat",), ("bat",), ("cats",), ("at",), ("dog",),
+            ("cat",),          # duplicate input string: pairs stay distinct
+            ("",), (None,)]    # empty/NULL keys dropped
+    df = spark.createDataFrame(rows, "surface string")
+    got = {(r.key_a, r.key_b)
+           for r in edit1_fuzzy_pairs(df, "surface").collect()}
+    # substitution (cat~bat) and single insertions (cat~cats, at~cat,
+    # at~bat); nothing pairs with dog; cats~at is distance 2 -> excluded
+    assert got == {("bat", "cat"), ("cat", "cats"), ("at", "cat"),
+                   ("at", "bat")}
+
+
+def test_edit1_fuzzy_pairs_match_brute_force(spark):
+    from itertools import combinations
+
+    from text2nkg_spark.operators.dedup import edit1_fuzzy_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = [f"w{i}x{i % 7}" for i in range(30)] + [
+        "alpha", "alpah", "alpha1", "lpha", "beta", "betta"]
+    expect = {(a, b) for a, b in combinations(sorted(set(words)), 2)
+              if lev(a, b) == 1}
+    df = spark.createDataFrame([(w,) for w in words], "surface string")
+    got = {(r.key_a, r.key_b)
+           for r in edit1_fuzzy_pairs(df, "surface").collect()}
+    assert got == expect

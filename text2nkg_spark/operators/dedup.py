@@ -526,3 +526,52 @@ def dedup_clusters(
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         (F.coalesce(F.col("cluster_id"), F.col("doc_id"))
          == F.col("doc_id")).alias("is_keeper"))
+
+
+def edit1_fuzzy_pairs(
+    df: DataFrame,
+    key_col: str = "surface",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Edit-distance-1 candidate join (SymSpell / deletion-neighborhood
+    blocking) — the fuzzy string matcher behind entity resolution and
+    typo-tolerant dedup: pairs of DISTINCT strings with Levenshtein
+    distance exactly 1, found WITHOUT an all-pairs comparison.
+
+    Blocking: each string emits itself plus its single-character-deletion
+    variants; two strings at distance 1 (one insertion/deletion, or one
+    substitution) always share a variant, so an equi-join on the variant
+    sees every true pair — and only near-misses (some distance-2 pairs
+    also collide; the final ``levenshtein <= 1`` filter drops them, on
+    candidate pairs only, never all pairs).  Work is bounded by
+    (len + 1) variants per string and ``max_bucket``^2 per variant
+    bucket (cap_bucket_width — same guard as every LSH family here), so
+    a degenerate variant shared by millions of strings cannot schedule
+    an unsplittable quadratic task.  At 100 TB this is the shape: explode
+    ~L rows per string, one hash join, one bounded verify.
+
+    Output: ``(key_a, key_b)`` with ``key_a < key_b``, distinct.
+    """
+    s = (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .where(F.col(key_col).isNotNull() & (F.length(key_col) > 0))
+        .distinct()
+    )
+    # self + single-deletion variants; the lambda builds
+    # concat(prefix_of_i, suffix_from_i+2) per 0-based position i
+    variants = s.select(
+        "k",
+        F.explode(F.expr(
+            "array_union(array(k), transform(sequence(0, length(k) - 1),"
+            " i -> concat(substring(k, 1, i), substring(k, i + 2))))"
+        )).alias("var"))
+    capped = cap_bucket_width(variants, ["var"], "k", max_bucket)
+    a = capped.select(F.col("var"), F.col("k").alias("key_a"))
+    b = capped.select(F.col("var"), F.col("k").alias("key_b"))
+    return (
+        a.join(b, "var")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+        .where(F.levenshtein("key_a", "key_b") <= 1)
+    )
