@@ -239,3 +239,36 @@ def test_corpus_prep_pipeline_plan_shape(spark):
         assert "source" not in ln and "n_chars" not in ln, ln
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_triangles_all_joins_are_hash_joins(spark):
+    # compact-forward enumeration: three equi-join legs, never a
+    # cartesian / nested-loop (the wedge condition rides the src key)
+    p = _plan(em.queries()["nkg_triangles"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_pairs_join_is_equijoin(spark):
+    # deletion-neighborhood blocking: the candidate join keys on the
+    # variant string — an all-pairs levenshtein would plan a BNLJ
+    p = _plan(em.queries()["nkg_fuzzy_surfaces"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pii_scrub_reads_only_needed_columns(spark):
+    p = _plan(em.queries()["text_pii_scrub"](spark, SF))
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas, p
+    for ln in schemas:
+        assert "lang" not in ln and "n_chars" not in ln, ln
+
+
+def test_resample_grid_join_is_keyed(spark):
+    # the grid joins observations on (key, bucket) — a hash join; the
+    # sequence explode is the only row-amplifying stage
+    p = _plan(em.queries()["events_resample_ffill"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p  # the sequence-explode grid stage is present

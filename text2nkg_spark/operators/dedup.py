@@ -551,6 +551,11 @@ def edit1_fuzzy_pairs(
     ~L rows per string, one hash join, one bounded verify.
 
     Output: ``(key_a, key_b)`` with ``key_a < key_b``, distinct.
+
+    EAGER: the capped variant table is localCheckpoint-ed at call time —
+    it feeds BOTH self-join sides, and without the lineage cut the
+    distinct + explode + cap pipeline executes once per side (measured
+    3x cold / 1.15x warm at sf0.1; same pattern as simhash_pairs).
     """
     s = (
         df.select(F.col(key_col).cast("string").alias("k"))
@@ -566,6 +571,7 @@ def edit1_fuzzy_pairs(
             " i -> concat(substring(k, 1, i), substring(k, i + 2))))"
         )).alias("var"))
     capped = cap_bucket_width(variants, ["var"], "k", max_bucket)
+    capped = capped.localCheckpoint()
     a = capped.select(F.col("var"), F.col("k").alias("key_a"))
     b = capped.select(F.col("var"), F.col("k").alias("key_b"))
     return (
