@@ -2732,12 +2732,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT key_a, key_b FROM cand
             WHERE levenshtein(key_a, key_b) <= 1
         """,
-        # sequence order pinned total by (epoch-micros, event_id)
+        # sequence order pinned total by (epoch-micros, event_id);
+        # NULL-ts rows dropped pre-window (Spark NULLS FIRST vs DuckDB
+        # NULLS LAST would diverge the sequences on dirty data)
         "events_transitions": """
             WITH ev AS (
               SELECT user_id, event_type,
                      epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
-              FROM events),
+              FROM events
+              WHERE epoch_us(CAST(ts AS TIMESTAMP)) IS NOT NULL),
             s AS (
               SELECT event_type AS next_type,
                      lag(event_type) OVER (PARTITION BY user_id

@@ -243,3 +243,21 @@ def test_event_transitions_hand_case(spark):
            for r in event_transitions(df).collect()}
     assert got == {("view", "click"): 1, ("click", "view"): 1,
                    ("view", "view"): 1}
+
+
+def test_event_transitions_null_ts_dropped(spark):
+    # NULL timestamps must be filtered BEFORE the window: Spark sorts
+    # NULLS FIRST ascending, DuckDB NULLS LAST — an unfiltered dirty row
+    # would give the engines different sequences (review r6 finding)
+    from text2nkg_spark.operators.temporal import event_transitions
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "u1", "view"),
+        (2, None, "u1", "poison"),
+        (3, "2024-01-01 00:00:10", "u1", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, event_type string")
+    got = {(r.prev_type, r.next_type): r.n
+           for r in event_transitions(df).collect()}
+    assert got == {("view", "click"): 1}

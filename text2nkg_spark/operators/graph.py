@@ -171,12 +171,16 @@ def triangle_counts(
     collection.  The rank is total (degree ties break on the node id),
     so the DuckDB oracle mirrors it exactly.
 
-    EAGER: the oriented edge list is localCheckpoint-ed at call time —
-    it feeds three join legs, and re-running the upstream edge pipeline
-    (mention fold + self-join when fed from mention_cooccurrence) per
-    leg would triple the scan cost.
+    EAGER: the input edge list is localCheckpoint-ed at call time — it
+    feeds the degree aggregate AND the ranked join above the
+    orientation, so the upstream edge pipeline (mention fold +
+    self-join when fed from mention_cooccurrence) would otherwise
+    re-execute 2-3x (ReusedExchange does not fire for this shape —
+    same measurement as simhash_pairs / canonicalize).  The oriented
+    list is checkpointed again because it feeds three join legs below.
     """
-    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))

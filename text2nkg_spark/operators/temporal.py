@@ -248,14 +248,17 @@ def event_transitions(
     feature prep.
 
     Sequence order is total (timestamp, then the unique id — concurrent
-    events never give the engines different orders).  ONE shuffle: the
-    lag window partitions by key, the final count aggregates map-side
-    first.  No per-key collection, no explode — linear in |events| at
-    any scale.
+    events never give the engines different orders).  NULL-timestamp
+    rows are dropped BEFORE the window: Spark sorts NULLS FIRST
+    ascending, DuckDB NULLS LAST, so an unfiltered dirty row would give
+    the engines different sequences (the same guard every rank/asof
+    operator here carries).  ONE shuffle: the lag window partitions by
+    key, the final count aggregates map-side first.  No per-key
+    collection, no explode — linear in |events| at any scale.
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(key_col).orderBy(us, F.col(id_col))
-    seq = df.select(
+    seq = df.where(us.isNotNull()).select(
         F.col(type_col).alias("next_type"),
         F.lag(type_col).over(w).alias("prev_type"))
     return (

@@ -384,7 +384,11 @@ def pii_scrub(
 
     Adds ``n_emails``/``n_phones`` (match counts on the ORIGINAL text)
     and ``redacted`` (emails replaced first, then phones — an email is
-    never half-eaten by the phone pattern).  Pure native ``regexp_count``
+    never half-eaten by the phone pattern).  Because the counts run on
+    the original text, a phone-shaped substring INSIDE an email local
+    part ('555-123-4567@x.com') counts as a phone but is consumed by
+    the email replacement — n_phones is "phone patterns observed", NOT
+    "``<PHONE>`` tokens emitted"; don't reconcile the two.  Pure native ``regexp_count``
     / ``regexp_replace`` projections: zero shuffle, codegen'd, linear
     scan — annotating a 100 TB corpus is exactly one pass.  The patterns
     avoid every Java-vs-RE2 divergence (no ``\\d``-vs-unicode-digit
