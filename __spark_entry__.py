@@ -1183,6 +1183,41 @@ def q_orders_merge_upsert(spark, sf_dir):
         "o_orderpriority")
 
 
+def q_orders_snapshot_diff(spark, sf_dir):
+    """CDC between table snapshots (merge.snapshot_diff): the base
+    orders table diffed against merge_upsert(base, updates) — the same
+    deterministic updates batch as orders_merge_upsert — must recover
+    exactly the effective changes: 'U' for every re-statused %10 key,
+    'I' for every cloned %97 key, no 'D', nothing for untouched keys.
+    One full outer join on the key + a null-safe struct comparison; the
+    oracle rebuilds the merged snapshot in SQL and diffs with
+    IS DISTINCT FROM."""
+    from text2nkg_spark.operators.merge import merge_upsert, snapshot_diff
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    upd = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .unionByName(
+            o.where(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+            .withColumn("o_orderstatus", F.lit("N")))
+    )
+    new = merge_upsert(o, upd, keys=["o_orderkey"])
+    d = snapshot_diff(o, new, keys=["o_orderkey"])
+    return d.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "change_type",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus", "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("od_us"),
+        "o_orderpriority")
+
+
 def q_events_sliding_window(spark, sf_dir):
     """Hopping/sliding windows (1 h window, 30 min slide — every event in
     exactly two windows) via the built-in ``F.window``, the batch twin of
@@ -1953,7 +1988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_role_extract": _q_gold_multi("role"),
         "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
         "nkg_metrics_table": q_nkg_metrics_table,
-        "multimodal_features": q_multimodal_features,
         # -- NEW this round (need first driver rows) --------------------
         "events_json_stats": q_events_json_stats,
         "events_funnel": q_events_funnel,
@@ -1968,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample_ffill": q_events_resample_ffill,
         "events_transitions": q_events_transitions,
         "nkg_fuzzy_surfaces": q_nkg_fuzzy_surfaces,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
         # ---------------- past the 50-entry driver window ----------------
         # oracle-backed entries with fresh r5 driver rows, untouched this
         # round — their oracles still run in the pytest mirror (13 slots
@@ -1975,7 +2010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # except_all, sample_deterministic, sample_stratified,
         # lineitem_unpivot, orders_pivot, orders_cube, nkg_gold_pipeline,
         # nkg_gold_comp_match, nkg_label_vocab, nkg_fact_manifest,
-        # nkg_gold_pruned — all r5-green and untouched; rotate back r7)
+        # nkg_gold_pruned, multimodal_features — all r5-green and
+        # untouched; rotate back r7)
+        "multimodal_features": q_multimodal_features,
         "nkg_gold_pruned": q_nkg_gold_pruned,
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
         "nkg_gold_comp_match": q_nkg_gold_comp_match,
@@ -2554,6 +2591,70 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us,
                    o_orderpriority
             FROM m
+        """,
+        # CDC: rebuild the merged snapshot (same recurrence as the
+        # merge_upsert oracle), then a FULL OUTER JOIN diff with
+        # IS DISTINCT FROM per value column (null-safe, like the
+        # engine's eqNullSafe struct comparison)
+        "orders_snapshot_diff": """
+            WITH b AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders),
+            upd AS (
+              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM b WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, 'N',
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM b WHERE o_orderkey % 97 = 0),
+            tagged AS (
+              SELECT *, 0 AS v FROM b
+              UNION ALL
+              SELECT *, 1 AS v FROM upd),
+            nw AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM tagged
+              QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                         ORDER BY v DESC) = 1),
+            d AS (
+              SELECT coalesce(n.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     CASE WHEN b.o_orderkey IS NULL THEN 'I'
+                          WHEN n.o_orderkey IS NULL THEN 'D'
+                          WHEN (b.o_custkey IS DISTINCT FROM n.o_custkey)
+                            OR (b.o_orderstatus
+                                IS DISTINCT FROM n.o_orderstatus)
+                            OR (b.o_totalprice
+                                IS DISTINCT FROM n.o_totalprice)
+                            OR (b.o_orderdate
+                                IS DISTINCT FROM n.o_orderdate)
+                            OR (b.o_orderpriority
+                                IS DISTINCT FROM n.o_orderpriority)
+                          THEN 'U' END AS change_type,
+                     coalesce(n.o_custkey, b.o_custkey) AS o_custkey,
+                     CASE WHEN n.o_orderkey IS NOT NULL
+                          THEN n.o_orderstatus
+                          ELSE b.o_orderstatus END AS o_orderstatus,
+                     CASE WHEN n.o_orderkey IS NOT NULL
+                          THEN n.o_totalprice
+                          ELSE b.o_totalprice END AS o_totalprice,
+                     CASE WHEN n.o_orderkey IS NOT NULL
+                          THEN n.o_orderdate
+                          ELSE b.o_orderdate END AS o_orderdate,
+                     CASE WHEN n.o_orderkey IS NOT NULL
+                          THEN n.o_orderpriority
+                          ELSE b.o_orderpriority END AS o_orderpriority
+              FROM b FULL OUTER JOIN nw n
+                ON b.o_orderkey = n.o_orderkey)
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, change_type,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_orderstatus, o_totalprice,
+                   epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us,
+                   o_orderpriority
+            FROM d WHERE change_type IS NOT NULL
         """,
         # every event in exactly two epoch-aligned 30-min-slide starts;
         # the containment predicate is the general hopping-window rule

@@ -180,13 +180,14 @@ def main() -> None:
         # old-set vs new-set accounting so round totals stay comparable)
         "text_repetition", "text_contamination", "orders_pivot",
         "orders_cube",
-        # round-6 additions (headline 34 -> 47)
+        # round-6 additions (headline 34 -> 48)
         "events_json_stats", "events_funnel", "orders_cohort_retention",
         "nkg_pagerank", "similarity_tfidf_cosine",
         "orders_merge_upsert", "events_sliding_window",
         "lineitem_salted_join",
         "text_pii_scrub", "nkg_triangles", "events_resample_ffill",
         "events_transitions", "nkg_fuzzy_surfaces",
+        "orders_snapshot_diff",
     ]
     qs = em.queries()
     for name in headline if HEADLINE else []:

@@ -63,3 +63,49 @@ def test_salted_join_replicates_other_side(spark):
         "_salt", (F.crc32(F.col("ln").cast("string")) % 8).cast("int"))
         .select("_salt").distinct().count())
     assert salts > 1  # the hot key genuinely fans out
+
+
+def test_snapshot_diff_semantics(spark):
+    from text2nkg_spark.operators.merge import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),         # unchanged -> no row
+         (2, "B", 20.0),         # value change -> U
+         (3, "c", 30.0),         # NULL -> value transition -> U
+         (5, "e", 50.0)],        # new key -> I; key 4 deleted -> D
+        "k long, s string, v double")
+    got = {r.k: (r.change_type, r.s, r.v)
+           for r in snapshot_diff(base, new, ["k"]).collect()}
+    assert got == {2: ("U", "B", 20.0), 3: ("U", "c", 30.0),
+                   5: ("I", "e", 50.0), 4: ("D", "d", 40.0)}
+
+
+def test_snapshot_diff_inverts_merge(spark):
+    # diff(base, merge_upsert(base, u)) recovers exactly u's effective
+    # changes — the docstring property
+    from text2nkg_spark.operators.merge import merge_upsert, snapshot_diff
+
+    base = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(20)],
+        "k long, s string, v double")
+    upd = spark.createDataFrame(
+        [(3, "s3", 3.0),      # no-op update: merge keeps it, diff drops it
+         (7, "S7", 7.0),      # real update
+         (25, "s25", 25.0)],  # insert
+        "k long, s string, v double")
+    merged = merge_upsert(base, upd, keys=["k"])
+    got = {r.k: r.change_type
+           for r in snapshot_diff(base, merged, ["k"]).collect()}
+    assert got == {7: "U", 25: "I"}
+
+
+def test_snapshot_diff_column_mismatch_raises(spark):
+    from text2nkg_spark.operators.merge import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="column mismatch"):
+        snapshot_diff(a, b, ["k"])
