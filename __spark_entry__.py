@@ -1931,6 +1931,112 @@ def q_multimodal_features(spark, sf_dir):
     return feature_scalars(extract_features(synth_media_df(spark, n=64)))
 
 
+def q_events_scd2(spark, sf_dir):
+    """Type-2 SCD dimension-history build (temporal.scd2_intervals):
+    each user's event_type change stream collapsed into half-open
+    validity intervals with a version counter — run starts by null-safe
+    lag compare, interval ends by lead, -1 sentinel (never NULL) on the
+    open current version.  Both windows share one partitioning, so the
+    plan carries ONE Exchange; exact integer epoch-micros ordering with
+    the unique event_id tiebreak keeps both engines on the same
+    sequence."""
+    from text2nkg_spark.operators.temporal import scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_intervals(ev, key_col="user_id", attr_col="event_type").select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("attr").alias("event_type"),
+        "eff_from_us", "eff_to_us", "version")
+
+
+def q_events_interval_overlap(spark, sf_dir):
+    """Interval self-overlap join (temporal.interval_overlap_pairs):
+    events become sessions [ts, ts + value minutes] (duration = ONE
+    double multiply by 60000000.0 then floor — the oracle writes the
+    identical expression so IEEE rounding matches); all same-user
+    overlapping session pairs with exact integer overlap length.  The
+    engine meets each pair exactly once via the later-start-home /
+    earlier-span-explode bucket equi-join (6 h buckets >= the 5.5 h max
+    duration, so the span explode is <=2 buckets per row); the oracle is
+    the plain O(n^2)-shaped theta-join DuckDB can afford at this scale."""
+    from text2nkg_spark.operators.temporal import interval_overlap_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "event_id", "user_id",
+        us.alias("s_us"),
+        (us + F.floor(F.col("value") * F.lit(60000000.0)).cast("long"))
+        .alias("e_us"))
+    return interval_overlap_pairs(
+        iv, key_col="user_id", id_col="event_id").select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ev_a").cast("long").alias("ev_a"),
+        F.col("ev_b").cast("long").alias("ev_b"),
+        "overlap_us")
+
+
+def q_nkg_kcore(spark, sf_dir):
+    """Bounded k-core peeling (graph.kcore_nodes, k=2, 3 rounds) over
+    the mention co-occurrence graph: iteratively strip nodes with fewer
+    than 2 surviving co-mention partners, report survivors with their
+    in-core degree.  Fixed round count keeps it a pure dataflow the
+    chained-CTE DuckDB oracle mirrors round for round; the adjacency is
+    checkpointed per round (three consumers per round — see the
+    operator docstring)."""
+    from text2nkg_spark.operators.graph import kcore_nodes
+
+    return kcore_nodes(_mention_edges(spark, sf_dir), k=2, iterations=3
+                       ).select("node", "core_degree")
+
+
+def q_complex_type_functions(spark, sf_dir):
+    """Complex-type function-library sweep (arrays/structs/maps —
+    the §2.9 breadth row next to scalar_functions): per-row arrays
+    built from lineitem measures, then sort / index / filter / fold /
+    containment / distinct-count and a map lookup — every OUTPUT column
+    a scalar, so driver canonicalization hashes cleanly.  Everything is
+    a native Catalyst expression (codegen'd, no UDF); the fold keeps the
+    foldLeft order both engines define, and only IEEE-exact arithmetic
+    (+, *) appears inside lambdas."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_orderkey") < 2000)
+        # NULL measures would hit the one cross-engine sort divergence
+        # (Spark array_sort NULLS LAST, DuckDB list_sort NULLS FIRST) —
+        # excluded identically on both sides
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull() & F.col("l_tax").isNotNull())
+    arr = F.array(F.col("l_quantity").cast("double"),
+                  F.col("l_extendedprice").cast("double"),
+                  F.col("l_discount").cast("double"),
+                  F.col("l_tax").cast("double"))
+    sarr = F.array_sort(arr)
+    tags = F.array(F.col("l_returnflag"), F.col("l_linestatus"),
+                   F.concat("l_returnflag", "l_linestatus"))
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.element_at(sarr, 2).alias("second_smallest"),
+        F.element_at(sarr, -1).alias("largest"),
+        F.size(F.array_distinct(tags)).cast("int").alias("n_distinct_tags"),
+        F.array_position(sarr, F.col("l_discount").cast("double"))
+        .cast("long").alias("discount_rank"),
+        F.size(F.filter(arr, lambda x: x > F.lit(1.0)))
+        .cast("int").alias("n_over_one"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).alias("fold_sum"),
+        F.array_contains(tags, "NO").cast("int").alias("has_no"),
+        F.concat_ws("|", F.slice(tags, 1, 2)).alias("tag_prefix"),
+        F.element_at(
+            F.create_map(F.lit("q"), F.col("l_quantity").cast("double"),
+                         F.lit("t"), F.col("l_tax").cast("double")),
+            F.lit("t")).alias("map_tax"),
+        F.struct(F.col("l_returnflag").alias("f"),
+                 F.col("l_linestatus").alias("s"))
+        .getField("f").alias("struct_flag"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS EVIDENCE: the driver's correctness snapshot covers the
     # FIRST 50 entries only.  Rotation policy (VERDICT r4 ask #1, r5 ask
@@ -1984,11 +2090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_unidirect": q_nkg_gold_unidirect,
         "nkg_entities": q_nkg_entities,
-        "nkg_gold_event_extract": _q_gold_multi("event"),
-        "nkg_gold_role_extract": _q_gold_multi("role"),
-        "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
-        "nkg_metrics_table": q_nkg_metrics_table,
         # -- NEW this round (need first driver rows) --------------------
+        "events_scd2": q_events_scd2,
+        "events_interval_overlap": q_events_interval_overlap,
+        "nkg_kcore": q_nkg_kcore,
+        "complex_type_functions": q_complex_type_functions,
         "events_json_stats": q_events_json_stats,
         "events_funnel": q_events_funnel,
         "orders_cohort_retention": q_orders_cohort_retention,
@@ -2004,6 +2110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_fuzzy_surfaces": q_nkg_fuzzy_surfaces,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         # ---------------- past the 50-entry driver window ----------------
+        # displaced late round-6 for the four newest entries (all four
+        # r5-green and untouched this round; rotate back r7):
+        "nkg_gold_event_extract": _q_gold_multi("event"),
+        "nkg_gold_role_extract": _q_gold_multi("role"),
+        "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
+        "nkg_metrics_table": q_nkg_metrics_table,
         # oracle-backed entries with fresh r5 driver rows, untouched this
         # round — their oracles still run in the pytest mirror (13 slots
         # yielded to the NEW entries above: grouping_sets, anti_join,
@@ -2773,6 +2885,84 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT n FROM t)
             GROUP BY node
         """,
+        # fixed-round k-core peeling (k=2, 3 rounds) — one degree CTE +
+        # one both-ends-survive filter per round, chained exactly like
+        # graph.kcore_nodes' loop; survivors reported with in-core degree
+        "nkg_kcore": f"""
+            WITH {_MENTIONS_CTE},
+            gsd AS (SELECT DISTINCT conv_id, surface FROM mentions),
+            gs AS (SELECT conv_id, surface FROM gsd
+                   QUALIFY row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY surface) <= 256),
+            e0 AS (
+              SELECT a.surface AS sa, b.surface AS sb
+              FROM gs a JOIN gs b
+                ON a.conv_id = b.conv_id AND a.surface < b.surface
+              GROUP BY 1, 2),
+            d1 AS (SELECT node, count(*) AS d
+                   FROM (SELECT sa AS node FROM e0
+                         UNION ALL SELECT sb FROM e0) GROUP BY node),
+            k1 AS (SELECT node FROM d1 WHERE d >= 2),
+            e1 AS (SELECT sa, sb FROM e0
+                   WHERE sa IN (SELECT node FROM k1)
+                     AND sb IN (SELECT node FROM k1)),
+            d2 AS (SELECT node, count(*) AS d
+                   FROM (SELECT sa AS node FROM e1
+                         UNION ALL SELECT sb FROM e1) GROUP BY node),
+            k2 AS (SELECT node FROM d2 WHERE d >= 2),
+            e2 AS (SELECT sa, sb FROM e1
+                   WHERE sa IN (SELECT node FROM k2)
+                     AND sb IN (SELECT node FROM k2)),
+            d3 AS (SELECT node, count(*) AS d
+                   FROM (SELECT sa AS node FROM e2
+                         UNION ALL SELECT sb FROM e2) GROUP BY node),
+            k3 AS (SELECT node FROM d3 WHERE d >= 2),
+            e3 AS (SELECT sa, sb FROM e2
+                   WHERE sa IN (SELECT node FROM k3)
+                     AND sb IN (SELECT node FROM k3))
+            SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+            FROM (SELECT sa AS node FROM e3
+                  UNION ALL SELECT sb FROM e3)
+            GROUP BY node
+        """,
+        # complex-type library twin: list/struct/map expressions mirrored
+        # op-for-op (list_sort == array_sort ASC on non-NULL doubles,
+        # list_reduce left fold == F.aggregate, map extraction unwrapped
+        # with [1] — DuckDB map[] yields a one-element list)
+        "complex_type_functions": """
+            WITH li AS (
+              SELECT *, list_value(CAST(l_quantity AS DOUBLE),
+                                   CAST(l_extendedprice AS DOUBLE),
+                                   CAST(l_discount AS DOUBLE),
+                                   CAST(l_tax AS DOUBLE)) AS arr,
+                     list_value(l_returnflag, l_linestatus,
+                                l_returnflag || l_linestatus) AS tags
+              FROM lineitem
+              WHERE l_orderkey < 2000
+                AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+            s AS (SELECT *, list_sort(arr) AS sarr FROM li)
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   sarr[2] AS second_smallest,
+                   sarr[-1] AS largest,
+                   CAST(len(list_distinct(tags)) AS INT)
+                     AS n_distinct_tags,
+                   CAST(list_position(sarr, CAST(l_discount AS DOUBLE))
+                        AS BIGINT) AS discount_rank,
+                   CAST(len(list_filter(arr, x -> x > 1.0)) AS INT)
+                     AS n_over_one,
+                   list_reduce(list_prepend(0.0, arr), (a, x) -> a + x)
+                     AS fold_sum,
+                   CAST(list_contains(tags, 'NO') AS INT) AS has_no,
+                   array_to_string(tags[1:2], '|') AS tag_prefix,
+                   (MAP {'q': CAST(l_quantity AS DOUBLE),
+                         't': CAST(l_tax AS DOUBLE)})['t'][1] AS map_tax,
+                   (struct_pack(f := l_returnflag,
+                                s := l_linestatus)).f AS struct_flag
+            FROM s
+        """,
         # grid regenerated with unnest(generate_series) on integer
         # epoch-micros; bucket representative = max(struct(us, id, v))
         # (ties impossible past the unique id); fill = last_value
@@ -2851,6 +3041,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
             FROM s WHERE prev_type IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # SCD2 history build: run starts by null-safe lag compare
+        # (IS DISTINCT FROM == Spark's ~eqNullSafe), intervals closed by
+        # lead over the surviving run starts, -1 sentinel on the open
+        # version (never NULL — NULL sort order differs across engines)
+        "events_scd2": """
+            WITH ev AS (
+              SELECT user_id AS key, event_type AS attr,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id AS id
+              FROM events
+              WHERE epoch_us(CAST(ts AS TIMESTAMP)) IS NOT NULL),
+            m AS (
+              SELECT key, attr, us, id,
+                     lag(attr) OVER w AS prev,
+                     lag(1) OVER w AS prev_seen
+              FROM ev WINDOW w AS (PARTITION BY key ORDER BY us, id)),
+            s AS (
+              SELECT * FROM m
+              WHERE prev_seen IS NULL OR attr IS DISTINCT FROM prev)
+            SELECT CAST(key AS BIGINT) AS user_id, attr AS event_type,
+                   us AS eff_from_us,
+                   coalesce(lead(us) OVER w2, CAST(-1 AS BIGINT))
+                     AS eff_to_us,
+                   CAST(row_number() OVER w2 AS BIGINT) AS version
+            FROM s WINDOW w2 AS (PARTITION BY key ORDER BY us, id)
+        """,
+        # interval self-overlap: the plain theta-join the engine's
+        # bucketed plan must reproduce pair-for-pair; duration is the
+        # IDENTICAL single multiply (value * 60000000.0) then floor, so
+        # IEEE rounding matches the engine's F.floor(value * lit)
+        "events_interval_overlap": """
+            WITH iv0 AS (
+              SELECT event_id AS id, user_id AS key,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                     epoch_us(CAST(ts AS TIMESTAMP))
+                       + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+              FROM events WHERE value IS NOT NULL),
+            iv AS (
+              SELECT * FROM iv0
+              WHERE key IS NOT NULL AND s IS NOT NULL
+                AND e IS NOT NULL AND s <= e)
+            SELECT CAST(a.key AS BIGINT) AS user_id,
+                   CAST(least(a.id, b.id) AS BIGINT) AS ev_a,
+                   CAST(greatest(a.id, b.id) AS BIGINT) AS ev_b,
+                   least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+            FROM iv a JOIN iv b
+              ON a.key = b.key AND a.id < b.id
+             AND a.s <= b.e AND b.s <= a.e
         """,
         "dedup_exact": """
             SELECT md5(substr(trim(regexp_replace(lower(text),

@@ -261,3 +261,134 @@ def test_event_transitions_null_ts_dropped(spark):
     got = {(r.prev_type, r.next_type): r.n
            for r in event_transitions(df).collect()}
     assert got == {("view", "click"): 1}
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals
+# ---------------------------------------------------------------------------
+
+def test_scd2_hand_case(spark):
+    from text2nkg_spark.operators.temporal import scd2_intervals
+
+    ev = spark.createDataFrame(
+        [(1, 10, _ts(0.0), "A"),
+         (2, 10, _ts(1.0), "A"),      # same run
+         (3, 10, _ts(2.0), "B"),      # change -> new version
+         (4, 10, _ts(3.0), "B"),
+         (5, 10, _ts(4.0), "A"),      # back to A = a THIRD version
+         (6, 10, None, "Z"),          # NULL ts: dropped, never a run
+         (7, 20, _ts(0.0), None),     # NULL attr is a real run value
+         (8, 20, _ts(1.0), None),     # ... and does NOT restart it
+         (9, 20, _ts(2.0), "C")],
+        "event_id long, user_id long, ts timestamp, event_type string")
+    out = scd2_intervals(ev).orderBy("key", "version").collect()
+    got = [(r.key, r.attr, r.version, r.eff_to_us == -1) for r in out]
+    assert got == [
+        (10, "A", 1, False), (10, "B", 2, False), (10, "A", 3, True),
+        (20, None, 1, False), (20, "C", 2, True)]
+    # intervals tile: each version's end == next version's start
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    for rows in by_key.values():
+        for a, b in zip(rows, rows[1:]):
+            assert a.eff_to_us == b.eff_from_us
+
+
+def test_scd2_single_shuffle(spark):
+    from text2nkg_spark.operators.temporal import scd2_intervals
+
+    ev = spark.createDataFrame(
+        [(1, 10, _ts(0.0), "A")],
+        "event_id long, user_id long, ts timestamp, event_type string")
+    plan = (scd2_intervals(ev)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_pairs
+# ---------------------------------------------------------------------------
+
+def _brute_overlaps(rows):
+    out = set()
+    for a in rows:
+        for b in rows:
+            if (a[0] == b[0] and a[1] < b[1]
+                    and a[2] <= b[3] and b[2] <= a[3]):
+                out.add((a[0], a[1], b[1],
+                         min(a[3], b[3]) - max(a[2], b[2])))
+    return out
+
+
+@pytest.mark.parametrize("bucket_us", [7, 1000])
+def test_interval_overlap_matches_brute_force(spark, bucket_us):
+    """Exact vs brute force with a bucket much SMALLER than the spans
+    (multi-bucket explode path) and much larger (single-bucket path);
+    includes equal starts, touching endpoints, zero-length intervals."""
+    import random
+
+    from text2nkg_spark.operators.temporal import interval_overlap_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        key = rng.randrange(4)
+        s = rng.randrange(200)
+        rows.append((key, i, s, s + rng.randrange(0, 40)))
+    rows.append((0, 500, 10, 10))     # zero-length
+    rows.append((0, 501, 10, 25))     # equal start with 500
+    df = spark.createDataFrame(rows, "key long, id long, s long, e long")
+    out = interval_overlap_pairs(
+        df, key_col="key", id_col="id", start_us_col="s", end_us_col="e",
+        bucket_us=bucket_us)
+    got = {(r.key, r.ev_a, r.ev_b, r.overlap_us) for r in out.collect()}
+    assert got == _brute_overlaps(rows)
+    # exactly-once generation: no dedup pass hides double meetings
+    assert out.count() == len(got)
+
+
+def test_interval_overlap_is_equijoin(spark):
+    from text2nkg_spark.operators.temporal import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(1, 1, 0, 10)], "key long, id long, s long, e long")
+    plan = (interval_overlap_pairs(df, key_col="key", id_col="id",
+                                   start_us_col="s", end_us_col="e")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# kcore_nodes
+# ---------------------------------------------------------------------------
+
+def test_kcore_peels_pendant_chain(spark):
+    from text2nkg_spark.operators.graph import kcore_nodes
+
+    # triangle {a,b,c} + pendant chain c-d-e: e peels in round 1
+    # (degree 1), which drops d to degree 1 for round 2; the triangle
+    # is the 2-core
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "surface_a string, surface_b string")
+    out = kcore_nodes(edges, k=2, iterations=3).collect()
+    assert {(r.node, r.core_degree) for r in out} == {
+        ("a", 2), ("b", 2), ("c", 2)}
+
+
+def test_kcore_fixed_rounds_not_fixpoint(spark):
+    from text2nkg_spark.operators.graph import kcore_nodes
+
+    # a 5-chain needs 2 peeling rounds to empty at k=2; with
+    # iterations=1 the middle survives at degree 2 — the FIXED-round
+    # contract the oracle mirrors
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "surface_a string, surface_b string")
+    one = kcore_nodes(edges, k=2, iterations=1).collect()
+    assert {(r.node, r.core_degree) for r in one} == {("c", 2)} | {
+        ("b", 1), ("d", 1)}
+    two = kcore_nodes(edges, k=2, iterations=2).collect()
+    assert two == []

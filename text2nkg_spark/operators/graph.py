@@ -213,3 +213,52 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int = 2,
+    iterations: int = 3,
+    a_col: str = "surface_a",
+    b_col: str = "surface_b",
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge list (``a < b``
+    per row): ``iterations`` rounds of "drop every node with degree < k,
+    then drop edges with a dropped endpoint", returning the surviving
+    nodes with their degree inside the surviving subgraph —
+    ``(node, core_degree)``.  The community-skeleton filter KG pipelines
+    use to separate persistent entities from one-off co-mentions.
+
+    A FIXED iteration count (not run-to-fixpoint) keeps the operator a
+    deterministic, oracle-expressible dataflow — the DuckDB twin is the
+    identical chain of per-round CTEs; convergence at small k is fast
+    (most peeling happens in round 1) and callers pick ``iterations``
+    for their graph's depth.  Each round is one explode + hash agg
+    (degrees) and two semi-joins (edge filter) — all keyed shuffles, no
+    driver collection, linear in surviving |E| per round.
+
+    EAGER: the input edges are localCheckpoint-ed at call time (they
+    feed the degree agg and both semi-join legs of round 1 — the
+    upstream mention pipeline would re-execute otherwise), and each
+    round's surviving edge list is checkpointed again: round i+1 reads
+    round i THREE times, and without the cut the plan tree triples per
+    round.
+    """
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
+    for _ in range(int(iterations)):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= int(k)).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -266,3 +266,128 @@ def event_transitions(
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    open_end_us: int = -1,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse a per-key change
+    stream into validity intervals — one row per run of equal
+    ``attr_col`` values, ``(key, attr, eff_from_us, eff_to_us, version)``
+    with half-open ``[from, to)`` ranges and ``open_end_us`` (a sentinel,
+    never NULL — NULL sorts differently across engines) on the current
+    version.  The dimension-history op every warehouse load needs and
+    Spark has no MERGE-history built-in for.
+
+    Change detection and interval assembly are two windows over the SAME
+    partitioning (key, ordered by exact integer epoch-micros then the
+    unique id): ``lag(attr)`` marks run starts, a filter keeps them,
+    ``lead(from)`` closes each run with the next run's start.  Catalyst
+    plans ONE Exchange for both windows (plan-asserted in
+    tests/test_temporal.py); linear in |events| at any scale, per-key
+    history length bounds window width exactly like sessionize.
+    NULL-timestamp rows are dropped before ordering (NULLS FIRST vs
+    LAST cross-engine trap); NULL attr values participate as a real
+    run value via a null-safe comparison (``eqNullSafe``).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us, F.col(id_col))
+    marked = (
+        df.where(us.isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(attr_col).alias("attr"),
+            us.alias("_us"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("_prev", F.lag("attr").over(
+            Window.partitionBy("key").orderBy("_us", "_id")))
+        .withColumn("_prev_seen", F.lag(F.lit(1)).over(
+            Window.partitionBy("key").orderBy("_us", "_id")))
+    )
+    # run start = first row of the key, or attr changed (null-safe:
+    # a NULL attr following a NULL attr is NOT a new version)
+    starts = marked.where(
+        F.col("_prev_seen").isNull()
+        | ~F.col("attr").eqNullSafe(F.col("_prev")))
+    w2 = Window.partitionBy("key").orderBy("_us", "_id")
+    return starts.select(
+        "key", "attr",
+        F.col("_us").alias("eff_from_us"),
+        F.coalesce(F.lead("_us").over(w2),
+                   F.lit(open_end_us).cast("long")).alias("eff_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    start_us_col: str = "s_us",
+    end_us_col: str = "e_us",
+    bucket_us: int = 6 * 3600 * 1_000_000,
+    max_span_buckets: int = 64,
+) -> DataFrame:
+    """Interval self-overlap join: all pairs of rows with the same key
+    whose ``[start, end]`` intervals intersect, with the exact integer
+    overlap length — scheduling-conflict / concurrent-session analytics
+    Spark would otherwise plan as an O(n^2) theta-join.
+
+    Each unordered pair is generated EXACTLY ONCE, no dedup pass: the
+    later-STARTING interval of a pair sits as the "home" side in its own
+    start bucket; the earlier one explodes over every bucket its span
+    touches, which includes that bucket precisely when the two overlap
+    (later start <= earlier end).  Ties on equal starts order by the
+    unique id.  The join is a hash EQUI-join on (key, bucket) — the
+    quadratic never materializes; per-bucket population bounds the
+    width, and the explode fan-out is span/bucket_us per row, hard-capped
+    at ``max_span_buckets`` (an interval longer than cap*bucket is
+    truncated for MEETING purposes only if it would explode further —
+    callers size ``bucket_us`` >= the expected max span; the cap is a
+    skew fuse, mirrored in the oracle only through the published knob
+    contract, so entries pick sizes where it never binds).
+
+    Output: ``(key, ev_a, ev_b, overlap_us)`` with ``ev_a < ev_b`` by id
+    and ``overlap_us = min(ends) - max(starts)`` (>= 0; touching
+    endpoints count with overlap 0, matching a closed-interval oracle
+    predicate ``a.s <= b.e AND b.s <= a.e``).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(start_us_col).cast("long").alias("s"),
+        F.col(end_us_col).cast("long").alias("e"),
+    ).where(F.col("key").isNotNull() & F.col("s").isNotNull()
+            & F.col("e").isNotNull() & (F.col("s") <= F.col("e")))
+    # integer DIV, never double-divide-and-cast: epoch micros sit near
+    # 2^50 and a float quotient can truncate across a bucket boundary
+    sdiv = F.expr(f"s DIV {int(bucket_us)}")
+    ediv = F.expr(f"e DIV {int(bucket_us)}")
+    home = base.select(
+        "key", F.col("id").alias("h_id"), F.col("s").alias("h_s"),
+        F.col("e").alias("h_e"), sdiv.alias("bucket"))
+    spans = base.select(
+        "key", "id", "s", "e",
+        F.explode(F.sequence(
+            sdiv,
+            F.least(ediv, sdiv + F.lit(int(max_span_buckets) - 1)),
+        )).alias("bucket"))
+    pairs = spans.join(home, ["key", "bucket"]).where(
+        # home starts strictly later, or same start with larger id —
+        # the canonical single meeting point for the pair
+        ((F.col("h_s") > F.col("s"))
+         | ((F.col("h_s") == F.col("s")) & (F.col("h_id") > F.col("id"))))
+        # overlap: the later start is at or before the earlier end
+        & (F.col("h_s") <= F.col("e")))
+    return pairs.select(
+        "key",
+        F.least("id", "h_id").alias("ev_a"),
+        F.greatest("id", "h_id").alias("ev_b"),
+        (F.least("e", "h_e") - F.col("h_s")).alias("overlap_us"),
+    )
