@@ -188,6 +188,9 @@ def main() -> None:
         "text_pii_scrub", "nkg_triangles", "events_resample_ffill",
         "events_transitions", "nkg_fuzzy_surfaces",
         "orders_snapshot_diff",
+        # late round-6 additions (headline 48 -> 52)
+        "events_scd2", "events_interval_overlap", "nkg_kcore",
+        "complex_type_functions",
     ]
     qs = em.queries()
     for name in headline if HEADLINE else []:
@@ -402,7 +405,18 @@ def main() -> None:
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["scaling"] = compact_scaling
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: never overflow the tail capture
+    # belt-and-braces: never overflow the driver's 2000-char tail capture.
+    # Degrade detail gracefully — full detail always lands in
+    # BENCH_DETAIL.json regardless of which rung prints.
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1900 and timings:
+        slow = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+        compact["queries"] = {k: round(v, 1) for k, v in slow.items()}
+        compact["queries_omitted"] = len(timings) - len(slow)
+        line = json.dumps(compact)
+    if len(line) > 1900:
         compact["queries"] = {"total_only": total}
         line = json.dumps(compact)
     print(line)
