@@ -296,7 +296,6 @@ def scd2_intervals(
     run value via a null-safe comparison (``eqNullSafe``).
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(key_col).orderBy(us, F.col(id_col))
     marked = (
         df.where(us.isNotNull())
         .select(
