@@ -1996,17 +1996,23 @@ def q_complex_type_functions(spark, sf_dir):
     built from lineitem measures, then sort / index / filter / fold /
     containment / distinct-count and a map lookup — every OUTPUT column
     a scalar, so driver canonicalization hashes cleanly.  Everything is
-    a native Catalyst expression (codegen'd, no UDF); the fold keeps the
-    foldLeft order both engines define, and only IEEE-exact arithmetic
-    (+, *) appears inside lambdas."""
+    a native Catalyst expression — no UDF, though the two HOF lambdas
+    (filter/aggregate) evaluate INTERPRETED, never codegen (the round-1
+    hard-won fact) — fine on a 2000-order slice, not a hot-path shape;
+    the fold keeps the foldLeft order both engines define, and only
+    IEEE-exact arithmetic (+, *) appears inside lambdas."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
         (F.col("l_orderkey") < 2000)
-        # NULL measures would hit the one cross-engine sort divergence
-        # (Spark array_sort NULLS LAST, DuckDB list_sort NULLS FIRST) —
-        # excluded identically on both sides
+        # NULL measures would hit cross-engine divergences (Spark
+        # array_sort NULLS LAST vs DuckDB list_sort NULLS FIRST) and
+        # NULL tags two more (array_distinct keeps one NULL where
+        # list_distinct drops all; array_contains yields NULL where
+        # list_contains yields false) — excluded identically both sides
         & F.col("l_quantity").isNotNull()
         & F.col("l_extendedprice").isNotNull()
-        & F.col("l_discount").isNotNull() & F.col("l_tax").isNotNull())
+        & F.col("l_discount").isNotNull() & F.col("l_tax").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+        & F.col("l_linestatus").isNotNull())
     arr = F.array(F.col("l_quantity").cast("double"),
                   F.col("l_extendedprice").cast("double"),
                   F.col("l_discount").cast("double"),
@@ -2982,7 +2988,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_orderkey < 2000
                 AND l_quantity IS NOT NULL
                 AND l_extendedprice IS NOT NULL
-                AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+                AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+                AND l_returnflag IS NOT NULL
+                AND l_linestatus IS NOT NULL),
             s AS (SELECT *, list_sort(arr) AS sarr FROM li)
             SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
                    CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -418,6 +418,7 @@ def main() -> None:
         compact["queries_omitted"] = len(timings) - len(slow)
         line = json.dumps(compact)
     if len(line) > 1900:
+        compact.pop("queries_omitted", None)  # stale from the prior rung
         compact["queries"] = {"total_only": total}
         line = json.dumps(compact)
     print(line)

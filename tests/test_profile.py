@@ -49,3 +49,21 @@ def test_profile_rejects_unsupported_type(spark):
         F.current_timestamp().alias("ts"))
     with pytest.raises(ValueError, match="unsupported type"):
         profile_table(df, ["ts"])
+
+
+def test_profile_empty_input(spark):
+    # the per-column SQL-aggregate contract: one row per column with
+    # zero counts even when the input has no rows
+    df = spark.createDataFrame([], "k long, s string").where("k > 0")
+    rows = {r["column"]: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert set(rows) == {"k", "s"}
+    for r in rows.values():
+        assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+        assert (r.min_d, r.max_d, r.min_s, r.max_s) == (
+            None, None, None, None)
+
+
+def test_profile_rejects_missing_column(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="not in DataFrame schema"):
+        profile_table(df, ["nope"])

@@ -392,3 +392,36 @@ def test_kcore_fixed_rounds_not_fixpoint(spark):
         ("b", 1), ("d", 1)}
     two = kcore_nodes(edges, k=2, iterations=2).collect()
     assert two == []
+
+
+def test_interval_overlap_span_overflow_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from text2nkg_spark.operators.temporal import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(1, 1, 0, 1000), (1, 2, 990, 995)],
+        "key long, id long, s long, e long")
+    # span 1000 us over 100 us buckets = 11 buckets > cap 4
+    out = interval_overlap_pairs(
+        df, key_col="key", id_col="id", start_us_col="s", end_us_col="e",
+        bucket_us=100, max_span_buckets=4)
+    with pytest.raises(SparkRuntimeException, match="max_span_buckets"):
+        out.collect()
+    # truncate_ok accepts the cap: id 1 only meets partners starting in
+    # its first 4 buckets, so the (1, 2) pair starting at 990 is MISSED
+    got = interval_overlap_pairs(
+        df, key_col="key", id_col="id", start_us_col="s", end_us_col="e",
+        bucket_us=100, max_span_buckets=4, truncate_ok=True).collect()
+    assert got == []
+
+
+def test_interval_overlap_rejects_nonpositive_cap(spark):
+    from text2nkg_spark.operators.temporal import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(1, 1, 0, 10)], "key long, id long, s long, e long")
+    with pytest.raises(ValueError, match="max_span_buckets"):
+        interval_overlap_pairs(
+            df, key_col="key", id_col="id", start_us_col="s",
+            end_us_col="e", max_span_buckets=0)

@@ -57,6 +57,11 @@ def profile_table(
     """
     columns = list(columns)
     fields = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in columns if c not in fields]
+    if missing:
+        raise ValueError(
+            f"profile_table: column(s) {missing} not in DataFrame schema "
+            f"(have: {sorted(fields)})")
     recs = []
     for c in columns:
         dt = fields[c]
@@ -77,7 +82,7 @@ def profile_table(
     per_value = melted.groupBy("column", "vnum", "vstr").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))
     nonnull = F.col("vnum").isNotNull() | F.col("vstr").isNotNull()
-    return per_value.groupBy("column").agg(
+    stats = per_value.groupBy("column").agg(
         F.sum("cnt").cast("long").alias("n_rows"),
         F.sum(F.when(~nonnull, F.col("cnt")).otherwise(F.lit(0)))
         .cast("long").alias("n_nulls"),
@@ -87,4 +92,20 @@ def profile_table(
         F.max("vnum").alias("max_d"),
         F.min("vstr").alias("min_s"),
         F.max("vstr").alias("max_s"),
+    )
+    # an EMPTY (or fully filtered) input melts to zero rows, but the
+    # profile contract — like any per-column SQL aggregate — is one row
+    # per column with zero counts; left-join the stats onto a tiny
+    # broadcast skeleton of the requested column names
+    skeleton = df.sparkSession.createDataFrame(
+        [(c,) for c in columns], "column string")
+    # the aggregated stats side is <= len(columns) rows — broadcast it
+    # (the preserved side of a left join cannot be the build side)
+    return skeleton.join(F.broadcast(stats), "column", "left").select(
+        "column",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce("n_nulls", F.lit(0)).cast("long").alias("n_nulls"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long")
+        .alias("n_distinct"),
+        "min_d", "max_d", "min_s", "max_s",
     )

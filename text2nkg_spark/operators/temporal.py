@@ -332,6 +332,7 @@ def interval_overlap_pairs(
     end_us_col: str = "e_us",
     bucket_us: int = 6 * 3600 * 1_000_000,
     max_span_buckets: int = 64,
+    truncate_ok: bool = False,
 ) -> DataFrame:
     """Interval self-overlap join: all pairs of rows with the same key
     whose ``[start, end]`` intervals intersect, with the exact integer
@@ -345,18 +346,26 @@ def interval_overlap_pairs(
     (later start <= earlier end).  Ties on equal starts order by the
     unique id.  The join is a hash EQUI-join on (key, bucket) — the
     quadratic never materializes; per-bucket population bounds the
-    width, and the explode fan-out is span/bucket_us per row, hard-capped
-    at ``max_span_buckets`` (an interval longer than cap*bucket is
-    truncated for MEETING purposes only if it would explode further —
-    callers size ``bucket_us`` >= the expected max span; the cap is a
-    skew fuse, mirrored in the oracle only through the published knob
-    contract, so entries pick sizes where it never binds).
+    width, and the explode fan-out is span/bucket_us per row, bounded by
+    ``max_span_buckets`` (must be >= 1).  A span longer than
+    cap*bucket_us would silently MISS pairs whose partner starts past
+    the cap, so by default such a row FAILS LOUDLY at execution time
+    (``raise_error`` — the fail-fast convention every guard here
+    follows); pass ``truncate_ok=True`` to accept the cap as a skew
+    fuse instead (documented truncation: the row only meets partners
+    starting within its first cap buckets).  Callers size ``bucket_us``
+    >= the expected max span so neither path engages.
 
     Output: ``(key, ev_a, ev_b, overlap_us)`` with ``ev_a < ev_b`` by id
     and ``overlap_us = min(ends) - max(starts)`` (>= 0; touching
     endpoints count with overlap 0, matching a closed-interval oracle
     predicate ``a.s <= b.e AND b.s <= a.e``).
     """
+    if max_span_buckets < 1:
+        raise ValueError(
+            f"interval_overlap_pairs: max_span_buckets must be >= 1, got "
+            f"{max_span_buckets} (0 would make the span sequence descend "
+            "and silently drop every multi-bucket meeting)")
     base = df.select(
         F.col(key_col).alias("key"),
         F.col(id_col).alias("id"),
@@ -368,15 +377,24 @@ def interval_overlap_pairs(
     # 2^50 and a float quotient can truncate across a bucket boundary
     sdiv = F.expr(f"s DIV {int(bucket_us)}")
     ediv = F.expr(f"e DIV {int(bucket_us)}")
+    cap_hi = sdiv + F.lit(int(max_span_buckets) - 1)
+    if truncate_ok:
+        hi = F.least(ediv, cap_hi)
+    else:
+        # a span past the cap would silently miss pairs — fail loudly
+        hi = F.when(ediv > cap_hi, F.raise_error(F.concat(
+            F.lit("interval_overlap_pairs: span of id "),
+            F.col("id").cast("string"),
+            F.lit(f" exceeds max_span_buckets={int(max_span_buckets)} x "
+                  f"bucket_us={int(bucket_us)}; raise bucket_us/"
+                  "max_span_buckets or pass truncate_ok=True"),
+        )).cast("long")).otherwise(ediv)
     home = base.select(
         "key", F.col("id").alias("h_id"), F.col("s").alias("h_s"),
         F.col("e").alias("h_e"), sdiv.alias("bucket"))
     spans = base.select(
         "key", "id", "s", "e",
-        F.explode(F.sequence(
-            sdiv,
-            F.least(ediv, sdiv + F.lit(int(max_span_buckets) - 1)),
-        )).alias("bucket"))
+        F.explode(F.sequence(sdiv, hi)).alias("bucket"))
     pairs = spans.join(home, ["key", "bucket"]).where(
         # home starts strictly later, or same start with larger id —
         # the canonical single meeting point for the pair
