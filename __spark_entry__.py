@@ -2082,6 +2082,38 @@ def q_events_value_histogram(spark, sf_dir):
     )
 
 
+def q_events_window_frames(spark, sf_dir):
+    """Window-FRAME breadth (the one §2.9 window surface
+    window_functions leaves out — it covers ranking/distribution/lag
+    over default frames): a ROWS frame (moving 3-row sum/min/max, total
+    (epoch-micros, event_id) order) and a RANGE frame (trailing-1h event
+    count over the numeric micros key — RANGE bounds need a single
+    numeric sort key, and tie rows enter the frame together in both
+    engines, so it is order-stable without a tiebreak).  The moving sum
+    runs in DECIMAL(18,2) (exact, order-free) and casts to double only
+    at the end; both frames share one partitioning, ONE Exchange."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.where(us.isNotNull()).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        us.alias("us"), "value")
+    w3 = (Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(-2, Window.currentRow))
+    wh = (Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3_600_000_000, Window.currentRow))
+    return base.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w3)
+        .cast("double").alias("mov_sum3"),
+        F.min("value").over(w3).alias("mov_min3"),
+        F.max("value").over(w3).alias("mov_max3"),
+        F.count(F.lit(1)).over(wh).cast("long").alias("n_last_hour"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS EVIDENCE: the driver's correctness snapshot covers the
     # FIRST 50 entries only.  Rotation policy (VERDICT r4 ask #1, r5 ask
@@ -2131,11 +2163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "sketch_distinct_tokens": q_sketch_distinct_tokens,
         "sketch_bottomk_sample": q_sketch_bottomk_sample,
-        # -- kept in the window (untouched; freshness <=2 rounds) -------
-        "nkg_gold_extract": q_nkg_gold_extract,
         # -- NEW this round (need first driver rows) --------------------
         "orders_profile": q_orders_profile,
         "events_value_histogram": q_events_value_histogram,
+        "events_window_frames": q_events_window_frames,
         "events_scd2": q_events_scd2,
         "events_interval_overlap": q_events_interval_overlap,
         "nkg_kcore": q_nkg_kcore,
@@ -2155,8 +2186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_fuzzy_surfaces": q_nkg_fuzzy_surfaces,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         # ---------------- past the 50-entry driver window ----------------
-        # displaced late round-6 for the six newest entries (all six
+        # displaced late round-6 for the seven newest entries (all seven
         # displacees r5-green and untouched this round; rotate back r7):
+        "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_unidirect": q_nkg_gold_unidirect,
         "nkg_entities": q_nkg_entities,
         "nkg_gold_event_extract": _q_gold_multi("event"),
@@ -3192,6 +3224,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(o_orderdate_us) AS DOUBLE),
                    CAST(max(o_orderdate_us) AS DOUBLE), NULL, NULL
             FROM o
+        """,
+        # window frames: ROWS 2-preceding moving aggregates on the total
+        # (us, id) order; RANGE trailing-1h count on the numeric micros
+        # key (tie rows enter together — order-stable without a
+        # tiebreak); DECIMAL moving sum is exact so frame-internal order
+        # cannot matter
+        "events_window_frames": """
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+              FROM events
+              WHERE epoch_us(CAST(ts AS TIMESTAMP)) IS NOT NULL)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w3
+                        AS DOUBLE) AS mov_sum3,
+                   min(value) OVER w3 AS mov_min3,
+                   max(value) OVER w3 AS mov_max3,
+                   CAST(count(*) OVER wh AS BIGINT) AS n_last_hour
+            FROM ev
+            WINDOW w3 AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   wh AS (PARTITION BY user_id ORDER BY us
+                          RANGE BETWEEN 3600000000 PRECEDING
+                          AND CURRENT ROW)
         """,
         # width-10 histogram: floor of one correctly-rounded IEEE
         # division, DECIMAL(18,2)-exact sums, double only at the end

@@ -188,10 +188,10 @@ def main() -> None:
         "text_pii_scrub", "nkg_triangles", "events_resample_ffill",
         "events_transitions", "nkg_fuzzy_surfaces",
         "orders_snapshot_diff",
-        # late round-6 additions (headline 48 -> 54)
+        # late round-6 additions (headline 48 -> 55)
         "events_scd2", "events_interval_overlap", "nkg_kcore",
         "complex_type_functions", "orders_profile",
-        "events_value_histogram",
+        "events_value_histogram", "events_window_frames",
     ]
     qs = em.queries()
     for name in headline if HEADLINE else []:
