@@ -67,3 +67,11 @@ def test_profile_rejects_missing_column(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="not in DataFrame schema"):
         profile_table(df, ["nope"])
+
+
+def test_profile_rejects_duplicate_and_empty_columns(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="duplicate column"):
+        profile_table(df, ["k", "k"])
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_table(df, [])

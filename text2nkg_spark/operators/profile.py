@@ -56,6 +56,13 @@ def profile_table(
     record so null counts ride the same pass without a flag column.
     """
     columns = list(columns)
+    if not columns:
+        raise ValueError("profile_table: columns must be non-empty")
+    if len(set(columns)) != len(columns):
+        dupes = sorted({c for c in columns if columns.count(c) > 1})
+        raise ValueError(
+            f"profile_table: duplicate column(s) {dupes} — a repeated "
+            "name would silently double its melt records and row counts")
     fields = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in columns if c not in fields]
     if missing:
