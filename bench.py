@@ -389,18 +389,34 @@ def main() -> None:
             json.dump(out, fh, indent=1)
     except OSError as exc:  # read-only checkout: detail is best-effort
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    # compact names keep EVERY published number on the stdout line as the
+    # headline set grows (55 queries + an 8-round history overflowed the
+    # long names); the gate key "efficiency_4_to_16" stays verbatim — it
+    # is the artifact field the north rule is checked against.  Mapping
+    # (full detail under the long names in BENCH_DETAIL.json):
+    #   eff_rounds/ctl_rounds = round_efficiencies/_controls_4_to_16,
+    #   gate_ctl = gate_round_control, ec_eff = engine-core control,
+    #   l{4,8,16,32}_tps = localN_turns_per_sec, wait_s = window wait,
+    #   eff_1_to_4 / eff1_rounds = the saturation-free fallback pair
+    _SHORT = {
+        "efficiency_4_to_16": "efficiency_4_to_16",
+        "round_efficiencies_4_to_16": "eff_rounds",
+        "gate_round_control": "gate_ctl",
+        "round_controls_4_to_16": "ctl_rounds",
+        "window_wait_sec": "wait_s",
+        "efficiency_1_to_4": "eff_1_to_4",
+        "round_efficiencies_1_to_4": "eff1_rounds",
+        "local4_turns_per_sec": "l4_tps",
+        "local8_turns_per_sec": "l8_tps",
+        "local16_turns_per_sec": "l16_tps",
+        "local32_turns_per_sec": "l32_tps",
+    }
     compact_scaling = {
-        k: v for k, v in scaling.items()
-        if k in (
-            "efficiency_n_to_4n", "efficiency_4_to_16",
-            "round_efficiencies_4_to_16", "gate_round_control",
-            "round_controls_4_to_16", "window_wait_sec",
-            "efficiency_1_to_4", "round_efficiencies_1_to_4",
-            "local4_turns_per_sec", "local8_turns_per_sec",
-            "local16_turns_per_sec", "local32_turns_per_sec")
+        short: (int(scaling[k]) if short.endswith("_tps") else scaling[k])
+        for k, short in _SHORT.items() if k in scaling
     }
     if "engine_core" in scaling:
-        compact_scaling["engine_core_eff_4_to_16"] = \
+        compact_scaling["ec_eff"] = \
             scaling["engine_core"]["efficiency_4_to_16"]
     compact = dict(out)
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
