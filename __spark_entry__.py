@@ -2122,14 +2122,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (displaced by r5's rotation) lead the window; every entry whose
     # engine or oracle text changed this round (the pinned-whitespace
     # normalize sweep + the conditional-broadcast rekey) stays inside the
-    # window so the change is driver-re-verified; the 11 yielded slots
-    # come from entries that are BOTH r5-green and untouched this round
-    # (bloom_semijoin, events_asof/range/percentiles, similarity_ivf_topk,
-    # nkg_cooccurrence, nkg_entity_degree, pack_token_shards, emb_topk,
-    # emb_neardup, similarity_lsh_topk — all with r5 rows, most
-    # multi-round).  Every oracle-backed entry keeps its oracle regardless
-    # of position; the harness-mirror test (tests/test_entry_contract.py)
-    # still compares ALL of them.
+    # window so the change is driver-re-verified; the 21 round-6-NEW
+    # entries fill the rest.  Every yielded slot comes from an entry
+    # that is BOTH r5-green and untouched this round (the full displacee
+    # list sits at the past-the-window markers below; all rotate back
+    # r7 — with 82 oracle entries over a 50-slot window each entry can
+    # be refreshed every 2 rounds, exactly the policy bound).  Every
+    # oracle-backed entry keeps its oracle regardless of position; the
+    # harness-mirror test (tests/test_entry_contract.py) still compares
+    # ALL of them, at sf0.001 in CI and sf0.01 via
+    # SPARK_GRAFT_CONTRACT_SF sweeps.
     return {
         # -- latest driver rows are r4 (rotated back in) ----------------
         "nkg_doc_assembly": q_nkg_doc_assembly,

@@ -429,6 +429,15 @@ def main() -> None:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact)
     if len(line) > 1900 and timings:
+        # aggregate the sub-second queries (least informative per char)
+        # instead of dropping the slow ones the judge compares
+        slow = {k: round(v, 1) for k, v in timings.items() if v >= 1.0}
+        fast = {k: v for k, v in timings.items() if v < 1.0}
+        slow["_fast_n"] = len(fast)
+        slow["_fast_total"] = round(sum(fast.values()), 1)
+        compact["queries"] = slow
+        line = json.dumps(compact)
+    if len(line) > 1900 and timings:
         slow = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
         compact["queries"] = {k: round(v, 1) for k, v in slow.items()}
         compact["queries_omitted"] = len(timings) - len(slow)
