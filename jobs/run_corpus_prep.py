@@ -125,6 +125,9 @@ def main() -> None:
         "n_sampled": sampled.count(),
         "n_shards": manifest.count(),
         "wall_s": round(time.time() - t0, 2),
+        # deploy-shape witness: under spark-submit this must be the
+        # launcher's --master, not a factory-forced local[N]
+        "master": spark.sparkContext.master,
     }
     print(json.dumps(stats))
     spark.stop()

@@ -83,6 +83,9 @@ def main() -> None:
                        use_ner_results=args.use_ner_results))
     stats = {name: df.count() for name, df in out.items()}
     stats["wall_s"] = round(time.time() - t0, 2)
+    # deploy-shape witness: under spark-submit this must be the launcher's
+    # --master, not a factory-forced local[N]
+    stats["master"] = spark.sparkContext.master
     print(json.dumps(stats))
     spark.stop()
 
