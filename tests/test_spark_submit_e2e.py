@@ -34,19 +34,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _spark_submit() -> str | None:
-    # prefer the pip-pyspark launcher (version-locked to the installed
-    # python package); fall back to PATH
+    # ONLY the pip-pyspark launcher: it is version-locked to the installed
+    # python package.  A PATH/SPARK_HOME spark-submit may be a different
+    # Spark distribution and would fail with a confusing py4j mismatch
+    # rather than anything this test is about.
     import pyspark
 
     cand = os.path.join(os.path.dirname(pyspark.__file__), "bin",
                         "spark-submit")
-    if os.path.exists(cand):
-        return cand
-    return shutil.which("spark-submit")
+    return cand if os.path.exists(cand) else None
 
 
-def _build_pkg_zip(dest: str) -> str:
-    zip_path = os.path.join(dest, "text2nkg_spark.zip")
+@pytest.fixture(scope="session")
+def pkg_zip(tmp_path_factory) -> str:
+    """The --py-files package zip, built once per test session."""
+    dest = tmp_path_factory.mktemp("pyfiles")
+    zip_path = os.path.join(str(dest), "text2nkg_spark.zip")
     pkg = os.path.join(REPO, "text2nkg_spark")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
         for root, dirs, files in os.walk(pkg):
@@ -58,11 +61,11 @@ def _build_pkg_zip(dest: str) -> str:
     return zip_path
 
 
-def _submit(job_src: str, job_args: list[str], tmp_path) -> dict:
+def _submit(job_src: str, job_args: list[str], tmp_path,
+            zip_path: str) -> dict:
     submit = _spark_submit()
     if submit is None:
-        pytest.skip("spark-submit not available")
-    zip_path = _build_pkg_zip(str(tmp_path))
+        pytest.skip("pip pyspark launcher not available")
     # copy the job OUT of the repo: its sys.path bootstrap then points at
     # tmp, so the package can only come from --py-files
     job = tmp_path / "jobs" / os.path.basename(job_src)
@@ -71,6 +74,13 @@ def _submit(job_src: str, job_args: list[str], tmp_path) -> dict:
 
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
+    # SPARK_HOME could point the pip launcher at a DIFFERENT Spark distro
+    # (version mismatch vs the imported pyspark) — scrub it
+    env.pop("SPARK_HOME", None)
+    # pin the self-launched default core count away from the submit-time
+    # master: if get_spark regressed to forcing local[$SPARK_GRAFT_CPUS],
+    # the stats["master"] assertion below must be able to see it
+    env["SPARK_GRAFT_CPUS"] = "32"
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
     cmd = [
@@ -99,10 +109,11 @@ def _parquet_rows(path: str) -> int:
     return ds.dataset(path, format="parquet", partitioning="hive").count_rows()
 
 
-def test_spark_submit_extraction_e2e(tmp_path):
+def test_spark_submit_extraction_e2e(tmp_path, pkg_zip):
     out = tmp_path / "nkg_out"
     stats = _submit(os.path.join(REPO, "jobs", "run_extraction.py"),
-                    ["--synthetic", "160", "--output", str(out)], tmp_path)
+                    ["--synthetic", "160", "--output", str(out)], tmp_path,
+                    pkg_zip)
     # launcher master respected (get_spark must not override --master)
     assert stats["master"] == "local[4]"
     assert stats["sentences"] > 0
@@ -120,14 +131,14 @@ def test_spark_submit_extraction_e2e(tmp_path):
     assert all("rows" in p for p in meta["partitions"])
 
 
-def test_spark_submit_corpus_prep_e2e(tmp_path):
+def test_spark_submit_corpus_prep_e2e(tmp_path, pkg_zip):
     docs = os.path.join(SF_DIR, "documents.parquet")
     if not os.path.exists(docs):
         pytest.skip(f"testdata missing: {docs}")
     out = tmp_path / "corpus_out"
     stats = _submit(os.path.join(REPO, "jobs", "run_corpus_prep.py"),
                     ["--input", docs, "--output", str(out),
-                     "--budget", "512"], tmp_path)
+                     "--budget", "512"], tmp_path, pkg_zip)
     assert stats["master"] == "local[4]"
     assert 0 < stats["n_gated"] <= stats["n_input"]
     assert 0 < stats["n_sampled"] <= stats["n_deduped"] <= stats["n_gated"]
