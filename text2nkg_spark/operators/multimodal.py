@@ -140,6 +140,101 @@ def feature_scalars(feats: DataFrame) -> DataFrame:
              F.col("dim").cast("int").alias("dim"), "value")
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, payload binary"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms double, frame binary"
+)
+
+_FRAMES_PER_PAYLOAD = 16  # fake container layout: 16 frames x 16 bytes
+
+
+def resize_images(media: DataFrame, out_w: int = 8,
+                  out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor image resize as batched ``mapInPandas``.
+
+    Image rows only (other kinds are filtered inside the UDF — the batch
+    never leaves Arrow).  The decode stub yields a square uint8 matrix per
+    payload (side = sqrt(byte length)); a real decoder would take the
+    source dims from ``meta`` instead.  The index map
+    ``src = (dst * side) // out`` is pure integer arithmetic, so resized
+    bytes have a closed-form oracle against the payload formula.  The whole
+    batch resizes in TWO numpy fancy-index ops — no per-row Python.
+    """
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"output dims must be positive, got {out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "kind", "width", "height", "payload"]
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            raw = _decode_batch([bytes(p) for p in pdf["payload"]])
+            side = int(np.sqrt(raw.shape[1]))
+            img = raw.reshape(len(pdf), side, side)
+            ys = (np.arange(out_h, dtype=np.int64) * side) // out_h
+            xs = (np.arange(out_w, dtype=np.int64) * side) // out_w
+            resized = img[:, ys][:, :, xs]  # (B, out_h, out_w)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(dtype=np.int64),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": [r.tobytes() for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform video frame sampling as batched ``mapInPandas`` — one output
+    row per sampled frame (the explode happens INSIDE the UDF via a
+    numpy repeat/tile, so Arrow ships each kept frame's bytes exactly once
+    and dropped frames never cross the boundary).
+
+    Video rows only.  The fake container is ``_FRAMES_PER_PAYLOAD`` equal
+    byte slices per payload (a real decoder would parse the container
+    here); sampled indices are ``(k * F) // n`` and each frame's timestamp
+    is ``idx * duration_ms / F`` from the metadata, so both the selection
+    and the timestamps have exact oracles.
+    """
+    total = _FRAMES_PER_PAYLOAD
+    if not 0 < n_frames <= total:
+        raise ValueError(f"n_frames must be in [1, {total}], got {n_frames}")
+    idx = (np.arange(n_frames, dtype=np.int64) * total) // n_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "ts_ms", "frame"]
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            raw = _decode_batch([bytes(p) for p in pdf["payload"]])
+            frames = raw.reshape(len(pdf), total, -1)[:, idx]  # (B, n, L)
+            dur = np.array(
+                [m["duration_ms"] for m in pdf["meta"]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(
+                        pdf["media_id"].to_numpy(dtype=np.int64), n_frames),
+                    "frame_idx": np.tile(idx, len(pdf)).astype(np.int32),
+                    "ts_ms": (np.repeat(dur, n_frames)
+                              * np.tile(idx, len(pdf)) / total),
+                    "frame": [f.tobytes()
+                              for row in frames for f in row],
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregation — must prune the payload column at scan."""
     return (
