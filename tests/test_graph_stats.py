@@ -368,3 +368,20 @@ def test_triangles_match_brute_force(spark):
         edges, "surface_a string, surface_b string")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expect
+
+
+def test_pagerank_and_kcore_plans_are_keyed_joins(spark):
+    """Scale shape: every iteration of both iterative graph operators is
+    an equi-join / hash aggregation — a cartesian or broadcast-nested-
+    loop stage anywhere in the chained plan would be quadratic at 100x."""
+    from text2nkg_spark.operators.graph import (
+        kcore_nodes, pagerank_iterations)
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1)],
+        "surface_a string, surface_b string, n_groups long")
+    for df in (pagerank_iterations(edges, iters=3),
+               kcore_nodes(edges, k=2, iterations=3)):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p

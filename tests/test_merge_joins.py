@@ -109,3 +109,29 @@ def test_snapshot_diff_column_mismatch_raises(spark):
     b = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="column mismatch"):
         snapshot_diff(a, b, ["k"])
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    """The physical join keys must include the salt column (that IS the
+    skew mitigation — without it the operator silently degenerates to a
+    plain hot-key join), and no cartesian/BNLJ may appear."""
+    li = spark.createDataFrame(
+        [(1, i) for i in range(20)], "k long, ln long")
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    j = salted_equi_join(li, dim, "k", n_salts=4, salt_src="ln")
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_merge_upsert_single_shuffle(spark):
+    """Latest-wins merge is ONE keyed shuffle: union is shuffle-free and
+    the row_number window rides a single hash-partition Exchange."""
+    from text2nkg_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    out = merge_upsert(base, upd, keys=["k"])
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
