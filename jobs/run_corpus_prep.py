@@ -26,10 +26,14 @@ Local smoke:
 
 Outputs under --output:
     profile/    one row per input column (nulls, exact distincts, min/max)
-    documents/  cleaned corpus, partitioned by shard (co-located reads for
-                downstream tokenization — each shard is one token budget)
+    documents/  cleaned corpus, INPUT SCHEMA ONLY + shard keys, partitioned
+                by shard (and shard_part when --shard-part is given) —
+                co-located reads for downstream tokenization
     manifest/   per-shard doc counts + token totals (the packing manifest)
     stats line  printed as ONE JSON line on stdout
+
+At real scale pass --shard-part (a date/lang/bucket column): the global
+quota is a single-reducer prefix sum by construction.
 """
 
 from __future__ import annotations
@@ -54,6 +58,12 @@ def main() -> None:
                     help="quality gate: minimum whitespace tokens")
     ap.add_argument("--no-scrub", action="store_true",
                     help="skip PII redaction")
+    ap.add_argument("--shard-part", default=None,
+                    help="column scoping the token quota per partition "
+                         "(e.g. lang, or a date bucket) — the REQUIRED "
+                         "shape at real scale: the global default is a "
+                         "single-reducer prefix sum (see "
+                         "token_quota_shards' scale note)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -69,6 +79,10 @@ def main() -> None:
     spark = get_spark("text2nkg-corpus-prep", master=args.master)
     t0 = time.time()
     d = spark.read.parquet(args.input)
+    out_cols = list(d.columns)  # the PUBLISHED corpus schema (+ shard keys);
+    # working columns (hashes, token counts, PII counters, sample buckets)
+    # must not leak into the written table
+    n_input = d.count()  # one cheap scan; every stage below is row-preserving
 
     # 1) profile the drop BEFORE touching it — schema-drift / null-rate
     # regressions surface here, not three stages deep (one scan)
@@ -81,6 +95,11 @@ def main() -> None:
     if not args.no_scrub:
         d = pii_scrub(d).withColumn("text", F.col("redacted")).drop(
             "redacted")
+
+    # docs with no language ID form their own stratum ('und') so the
+    # rebalance keeps them — a NULL key would crash the rate sort and a
+    # null-unsafe == would silently drop them at default_rate=0
+    d = d.withColumn("lang", F.coalesce(F.col("lang"), F.lit("und")))
 
     # 3) quality gate, then exact dedup AMONG SURVIVORS (window-min
     # keeper: one shuffle, no join; gating first means a low-quality
@@ -97,33 +116,57 @@ def main() -> None:
     deduped = gated.withColumn("_keeper", keeper).where(
         F.col("doc_id") == F.col("_keeper")).drop("_keeper")
 
+    # funnel stats in ONE extra pass: the keeper count equals the number
+    # of distinct content hashes among gate survivors (re-running the
+    # whole lineage once per stat would scan the corpus ~5x at size)
+    funnel = gated.agg(
+        F.count(F.lit(1)).alias("n_gated"),
+        F.count_distinct("content_hash").alias("n_deduped")).collect()[0]
+
     # 4) stratified language rebalance (md5-bucket deterministic) with
     # rates derived from observed languages: keep every language, halve
-    # the most frequent one (the usual head-language downweighting)
+    # the most frequent one (the usual head-language downweighting);
+    # count ties break lexicographically so reruns pick the same language
     lang_counts = {r["lang"]: r["n"] for r in
                    deduped.groupBy("lang")
                    .agg(F.count(F.lit(1)).alias("n")).collect()}
-    top = max(lang_counts, key=lang_counts.get) if lang_counts else None
+    top = (max(sorted(lang_counts), key=lang_counts.get)
+           if lang_counts else None)
     rates = {k: (0.5 if k == top else 1.0) for k in lang_counts}
-    sampled = stratified_sample(deduped, rates, seed=42)
+    # two consumers below (shard assignment + the published join) — cut
+    # the scrub->gate->dedup lineage once instead of executing it twice
+    sampled = stratified_sample(deduped, rates, seed=42).localCheckpoint()
 
     # 5) token-quota sharding + partitioned write (shard = read unit for
-    # downstream tokenization; each carries ~budget tokens)
+    # downstream tokenization; each carries ~budget tokens).  --shard-part
+    # scopes the quota per partition (shard ids restart per value); the
+    # global default is fine at job-test scale but is a single-reducer
+    # sort at 10^12 docs — pass it for real runs.
+    shard_cols = ["shard_part", "shard"] if args.shard_part else ["shard"]
+    quota_in = ["doc_id", "text"] + (
+        [args.shard_part] if args.shard_part else [])
     sharded = token_quota_shards(
-        sampled.select("doc_id", "text"), budget=args.budget)
-    out_docs = sampled.join(sharded.select("doc_id", "shard"), "doc_id")
-    out_docs.write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(args.output, "documents"))
-    manifest = shard_stats(sharded)
-    manifest.write.mode("overwrite").parquet(
-        os.path.join(args.output, "manifest"))
+        sampled.select(*quota_in), budget=args.budget,
+        part_col=args.shard_part)
+    # publish ONLY the input schema + shard keys: working columns
+    # (content_hash, n_toks, PII counters, sample_bucket) stay internal
+    out_docs = sampled.join(
+        sharded.select("doc_id", *shard_cols), "doc_id").select(
+        *out_cols, *shard_cols)
+    docs_dir = os.path.join(args.output, "documents")
+    out_docs.write.mode("overwrite").partitionBy(*shard_cols).parquet(
+        docs_dir)
+    manifest_dir = os.path.join(args.output, "manifest")
+    shard_stats(sharded).write.mode("overwrite").parquet(manifest_dir)
 
     stats = {
-        "n_input": d.count() if args.no_scrub else docs.count(),
-        "n_gated": gated.count(),
-        "n_deduped": deduped.count(),
-        "n_sampled": sampled.count(),
-        "n_shards": manifest.count(),
+        "n_input": n_input,
+        "n_gated": funnel["n_gated"],
+        "n_deduped": funnel["n_deduped"],
+        # read the WRITTEN tables back for the output-side counts — free
+        # vs re-executing the sampling/sharding lineage
+        "n_sampled": spark.read.parquet(docs_dir).count(),
+        "n_shards": spark.read.parquet(manifest_dir).count(),
         "wall_s": round(time.time() - t0, 2),
         # deploy-shape witness: under spark-submit this must be the
         # launcher's --master, not a factory-forced local[N]

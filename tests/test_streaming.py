@@ -68,7 +68,9 @@ def test_stream_restart_processes_only_new_files(spark, tr_dir,
         q = run_to_parquet(
             stream_extract_facts(stream_transcripts(spark, in_dir),
                                  cfg, space), out_dir, ckpt)
-        q.awaitTermination(120)
+        # fail LOUD on timeout: proceeding with the first query still
+        # active would hand the second drain a checkpoint-in-use error
+        assert q.awaitTermination(120), "drain did not finish in 120 s"
 
     drain()
     n_first = spark.read.parquet(out_dir).count()
