@@ -55,7 +55,13 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic rates (e.g. language rebalancing: keep all
     low-resource docs, downsample the dominant language).  Same bucket
-    hash as deterministic_sample, so per-stratum samples nest too."""
+    hash as deterministic_sample, so per-stratum samples nest too.
+
+    Strata keys must be non-null and mutually comparable (the rate chain
+    sorts them); rows whose ``strata_col`` is NULL match no stratum
+    (null-unsafe ``==``) and fall to ``default_rate`` — coalesce nulls to
+    a sentinel stratum first if they must survive (jobs/run_corpus_prep.py
+    uses ``'und'``)."""
     thresh = F.lit(int(default_rate * SAMPLE_BUCKETS))
     for value, rate in sorted(strata_rates.items()):
         thresh = F.when(
