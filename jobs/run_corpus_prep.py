@@ -112,6 +112,11 @@ def main() -> None:
     gated = docs.where(
         (F.col("n_toks") >= args.min_tokens)
         & (F.col("n_uniq") * 10 >= F.col("n_toks") * 3))
+    # cut the regex-heavy scrub+gate lineage ONCE: everything below
+    # (funnel agg, dedup window, language counts, sampling, sharding,
+    # the published join) derives from this checkpoint — downstream
+    # re-executions cost keyed shuffles, never a second scrub pass
+    gated = gated.localCheckpoint()
     keeper = F.min("doc_id").over(Window.partitionBy("content_hash"))
     deduped = gated.withColumn("_keeper", keeper).where(
         F.col("doc_id") == F.col("_keeper")).drop("_keeper")
@@ -133,9 +138,7 @@ def main() -> None:
     top = (max(sorted(lang_counts), key=lang_counts.get)
            if lang_counts else None)
     rates = {k: (0.5 if k == top else 1.0) for k in lang_counts}
-    # two consumers below (shard assignment + the published join) — cut
-    # the scrub->gate->dedup lineage once instead of executing it twice
-    sampled = stratified_sample(deduped, rates, seed=42).localCheckpoint()
+    sampled = stratified_sample(deduped, rates, seed=42)
 
     # 5) token-quota sharding + partitioned write (shard = read unit for
     # downstream tokenization; each carries ~budget tokens).  --shard-part
