@@ -821,22 +821,36 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_revenue_by_nation(spark, sf_dir):
+    # guide §2.3 "aggregate before you shuffle": the per-item revenue sum
+    # is pre-aggregated per orderkey BEFORE the orders join, so the join
+    # shuffles one row per order instead of one per lineitem (~4x fewer
+    # rows; the orderkey exchange doubles as the join partitioning).
+    # DECIMAL addition is exact and associative, so the regrouped sums —
+    # and the final double casts — are bit-identical to the flat
+    # aggregation the DuckDB oracle runs.
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda x: F.col(x).cast("decimal(18,4)")  # noqa: E731
-    return (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_name")
+    lagg = (
+        l.groupBy("l_orderkey")
         .agg(
             F.sum(
                 dec("l_extendedprice")
                 * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
-            ).cast("double").alias("revenue"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
+            ).alias("_rev"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        lagg.join(o, lagg["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum("_n").cast("long").alias("n_items"),
         )
     )
 

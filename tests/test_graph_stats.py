@@ -380,8 +380,54 @@ def test_pagerank_and_kcore_plans_are_keyed_joins(spark):
     edges = spark.createDataFrame(
         [("a", "b", 2), ("b", "c", 1)],
         "surface_a string, surface_b string, n_groups long")
-    for df in (pagerank_iterations(edges, iters=3),
-               kcore_nodes(edges, k=2, iterations=3)):
+    for df in (pagerank_iterations(edges, iters=3, local_threshold=0),
+               kcore_nodes(edges, k=2, iterations=3, local_threshold=0)):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, p
         assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_graph_local_twins_match_distributed(spark):
+    """The size-adaptive driver-side twins (r7: pagerank / triangles /
+    kcore below _LOCAL_EDGE_THRESHOLD edges) must be row-identical to
+    the distributed plans on the same pseudo-random graph — including
+    degree ties, hubs, self-free a<b edges and duplicate-free input."""
+    from text2nkg_spark.operators.graph import (
+        kcore_nodes, pagerank_iterations, triangle_counts)
+
+    nodes = [f"n{i:02d}" for i in range(14)]
+    rows = [(a, b, 1 + (i * 5 + j * 11) % 4)
+            for i, a in enumerate(nodes)
+            for j, b in enumerate(nodes)
+            if i < j and (i * 7 + j * 13) % 3 != 0]
+    edges = spark.createDataFrame(
+        rows, "surface_a string, surface_b string, n_groups long")
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rowset(pagerank_iterations(edges)) == \
+        rowset(pagerank_iterations(edges, local_threshold=0))
+    assert rowset(triangle_counts(edges)) == \
+        rowset(triangle_counts(edges, local_threshold=0))
+    assert rowset(kcore_nodes(edges, k=3, iterations=3)) == \
+        rowset(kcore_nodes(edges, k=3, iterations=3, local_threshold=0))
+
+
+def test_mention_cooccurrence_local_twin_matches(spark):
+    """The size-adaptive driver-side twin of mention_cooccurrence must be
+    row-identical to the distributed sort/cap/pair/count — including the
+    max_group_width truncation on an over-wide group."""
+    from text2nkg_spark.operators.graph import mention_cooccurrence
+
+    rows = [(f"c{i % 5}", f"s{(i * 7) % 23:02d}") for i in range(200)]
+    rows += [("wide", f"s{i:03d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "conv_id string, surface string")
+
+    def rowset(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    for cap in (4, 256):
+        assert rowset(mention_cooccurrence(df, max_group_width=cap)) == \
+            rowset(mention_cooccurrence(
+                df, max_group_width=cap, local_threshold=0))

@@ -369,32 +369,28 @@ def canonicalize_entities(
     # lexicographically-min surface, so entity_id doubles as a canonical
     # key and the DuckDB oracle reproduces it with plain string mins
     #
-    # materialize the surface stream once: three consumers read it (the CC
-    # collect/edge build, the surface->component join, the mention->entity
-    # join), and without it each re-evaluates the upstream
-    # mention-detection fold — measured ~2x the whole query's wall at
-    # sf0.1.  localCheckpoint (not persist): the blocks are released by
-    # the ContextCleaner when the DataFrames go out of scope, where a
-    # plain cache() entry would pin executor storage for the session
-    # (this operator runs ~40x per bench/driver session)
-    mention_surfaces_df = mention_surfaces_df.localCheckpoint()
-    distinct_surf = (
-        mention_surfaces_df.select("surface").distinct().localCheckpoint())
-
     # Size-adaptive fused fast path: small vocabularies (the common case —
     # distinct SURFACES grow far slower than mentions) run LSH + union-find
-    # entirely driver-side from ONE collect and ship ONE small
-    # (surface, entity_id) frame back.  Chaining the generic operators
-    # would instead round-trip python-RDD-backed DataFrames through Spark
-    # three times (collect of a parallelized 700-row frame alone measures
-    # ~2.6 s in worker serde);  semantics are bit-identical to the
-    # distributed path (tests/test_canonicalize.py asserts both layers).
+    # AND the entities aggregate entirely driver-side from ONE bounded
+    # Spark job: the per-surface mention-count aggregate is exactly the
+    # vocabulary (distinct surfaces) plus the only number the entities
+    # rollup needs beyond it (n_mentions = sum of per-surface counts,
+    # n_surfaces = surfaces per component, canonical = min surface).  The
+    # previous shape paid two localCheckpoint jobs + a distinct-probe
+    # collect + a distributed groupBy — ~9 Spark jobs where this is ~2
+    # (measured 13 s -> ~2 s for the entities entry under a contended
+    # driver; semantics are bit-identical to the distributed path, which
+    # tests/test_canonicalize.py asserts on both layers).
     spark = mention_surfaces_df.sparkSession
-    head = distinct_surf.limit(local_vocab_threshold + 1).collect() \
-        if local_vocab_threshold > 0 else []
+    head = (
+        mention_surfaces_df.groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(local_vocab_threshold + 1).collect()
+    ) if local_vocab_threshold > 0 else []
     small = local_vocab_threshold > 0 and len(head) <= local_vocab_threshold
     if small:
         surfaces = [r[0] for r in head]
+        n_mentions = {r[0]: r[1] for r in head}
         # shared _SHINGLE_N/_LSH_SEED/_LSH_MAX_BUCKET constants — the
         # same values the lsh_candidate_pairs signature defaults to, so
         # the two branches cannot drift apart
@@ -405,27 +401,57 @@ def canonicalize_entities(
         sc_rows = [(s, roots.get(s, s)) for s in surfaces if s is not None]
         surf_comp = spark.createDataFrame(
             sc_rows or [], "surface string, entity_id string")
-    else:
-        pairs = lsh_candidate_pairs(
-            distinct_surf, "surface",
-            num_hashes=num_hashes, bands=bands,
-            jaccard_threshold=jaccard_threshold,
-            local_threshold=0)  # smallness already decided above — don't
-        #                         re-collect the probe
-        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        comp = connected_components(edges)
-        surf_comp = (
-            distinct_surf.join(
-                comp, distinct_surf["surface"] == comp["node"], "left")
-            .select(
-                "surface",
-                F.coalesce("component", "surface").alias("entity_id"),
-            )
+        # entities rollup driver-side: identical rows to the distributed
+        # groupBy over the mention->entity join (NULL surfaces never join,
+        # so they are excluded on both paths)
+        agg: dict[str, list] = {}
+        for s, eid in sc_rows:
+            a = agg.get(eid)
+            if a is None:
+                agg[eid] = [s, 1, int(n_mentions[s])]
+            else:
+                if s < a[0]:
+                    a[0] = s
+                a[1] += 1
+                a[2] += int(n_mentions[s])
+        ent_rows = [(eid, a[0], a[1], a[2]) for eid, a in agg.items()]
+        entities = spark.createDataFrame(
+            ent_rows or [],
+            "entity_id string, canonical_surface string, "
+            "n_surfaces long, n_mentions long")
+        # m2e stays LAZY: one pass over the mention stream when (and only
+        # when) a consumer acts on it — entities above no longer needs it
+        m2e = mention_surfaces_df.join(F.broadcast(surf_comp), "surface")
+        return {"entities": entities, "mention_to_entity": m2e,
+                "surface_to_entity": surf_comp, "small_vocab": True}
+    # distributed path: materialize the surface stream once — three
+    # consumers read it (the CC edge build, the surface->component join,
+    # the mention->entity join), and without the cut each re-evaluates the
+    # upstream mention-detection fold (measured ~2x the whole query's wall
+    # at sf0.1).  localCheckpoint (not persist): the blocks are released
+    # by the ContextCleaner when the DataFrames go out of scope.
+    mention_surfaces_df = mention_surfaces_df.localCheckpoint()
+    distinct_surf = (
+        mention_surfaces_df.select("surface").distinct().localCheckpoint())
+    pairs = lsh_candidate_pairs(
+        distinct_surf, "surface",
+        num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        local_threshold=0)  # smallness already decided above — don't
+    #                         re-collect the probe
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    surf_comp = (
+        distinct_surf.join(
+            comp, distinct_surf["surface"] == comp["node"], "left")
+        .select(
+            "surface",
+            F.coalesce("component", "surface").alias("entity_id"),
         )
-    # broadcast only the collected-small map; the distributed branch's
-    # surface->entity frame can be arbitrarily large and joins normally
-    m2e = mention_surfaces_df.join(
-        F.broadcast(surf_comp) if small else surf_comp, "surface")
+    )
+    # the distributed branch's surface->entity frame can be arbitrarily
+    # large at scale and joins normally (never an unconditional broadcast)
+    m2e = mention_surfaces_df.join(surf_comp, "surface")
     entities = (
         m2e.groupBy("entity_id")
         .agg(

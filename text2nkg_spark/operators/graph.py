@@ -34,6 +34,7 @@ def mention_cooccurrence(
     group_col: str = "conv_id",
     surface_col: str = "surface",
     max_group_width: int = 256,
+    local_threshold: int = 20_000,
 ) -> DataFrame:
     """Co-occurrence edges between mention surfaces appearing in the same
     ``group_col`` (conversation): ``(surface_a, surface_b, n_groups)``
@@ -45,12 +46,44 @@ def mention_cooccurrence(
     (deterministically, by surface order) so one mega-conversation cannot
     schedule an O(W^2) block; the cap is the same guard every LSH pair
     generator here uses (operators/dedup.py ``cap_bucket_width``).
+
+    Size-adaptive (r7): at or below ``local_threshold`` distinct
+    (group, surface) rows the capped pair expansion + count runs
+    driver-side from one bounded collect — identical sort/cap/pair/count
+    semantics (parity-tested), where the distributed shape costs ~4
+    exchanges of fixed overhead on toy groups.  The Python pair loop is
+    bounded by ``local_threshold/max_group_width`` groups at
+    ``max_group_width^2/2`` pairs each.  ``local_threshold=0`` forces
+    the distributed path (EAGER probe otherwise — one bounded Spark job
+    at call time, the connected_components contract).
     """
     gs = (
         mentions.select(F.col(group_col).alias("g"),
                         F.col(surface_col).alias("s"))
         .distinct()
     )
+    if local_threshold > 0:
+        head = gs.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            groups: dict = {}
+            for r in head:
+                groups.setdefault(r[0], []).append(r[1])
+            counts: dict = {}
+            for members in groups.values():
+                # Spark's asc sort is nulls-first; a NULL surface never
+                # passes surface_a < surface_b so it pairs with nothing
+                members.sort(key=lambda x: (x is not None, x))
+                kept = members[:max_group_width]
+                for i, a in enumerate(kept):
+                    if a is None:
+                        continue
+                    for b in kept[i + 1:]:
+                        counts[(a, b)] = counts.get((a, b), 0) + 1
+            s_type = dict(gs.dtypes)["s"]
+            rows = [(a, b, n) for (a, b), n in counts.items()]
+            return mentions.sparkSession.createDataFrame(
+                rows or [],
+                f"surface_a {s_type}, surface_b {s_type}, n_groups long")
     w = Window.partitionBy("g").orderBy("s")
     gs = gs.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= max_group_width).drop("_rn")
@@ -86,6 +119,27 @@ def cooccurrence_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+# edge count at or below which the iterative operators run their exact
+# driver-side twin from ONE bounded collect (the same size-adaptivity as
+# canonicalize.connected_components): each distributed star/peel/power
+# round costs several fixed-overhead Spark jobs — pagerank at 3 iters is
+# ~19 jobs, kcore ~20 — which dwarfs graphs of a few thousand edges.
+# 10k edges also keeps the local pagerank inside the distributed path's
+# int64 envelope (in-sums <= N * scale; python ints never wrap, so the
+# twin must only run where the distributed path wouldn't wrap either).
+_LOCAL_EDGE_THRESHOLD = 10_000
+
+
+def _collect_small_edges(edges: DataFrame, cols: list, threshold: int):
+    """limit(threshold+1) probe: the rows when the graph is small, else
+    None.  EAGER — runs one bounded Spark job at call time (the same
+    call-time-execution contract as connected_components)."""
+    if threshold <= 0:
+        return None
+    head = edges.select(*cols).limit(threshold + 1).collect()
+    return head if len(head) <= threshold else None
+
+
 def pagerank_iterations(
     edges: DataFrame,
     iters: int = 3,
@@ -95,6 +149,7 @@ def pagerank_iterations(
     a_col: str = "surface_a",
     b_col: str = "surface_b",
     w_col: str = "n_groups",
+    local_threshold: int = _LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Weighted PageRank power iterations over an undirected edge list,
     in ALL-INTEGER arithmetic so every rank is bit-identical across
@@ -121,7 +176,38 @@ def pagerank_iterations(
     fold + self-join here is the expensive part, not the rank joins).
     Each iteration is one keyed equi-join + one hash aggregate —
     shuffle-partitioned by node id, no driver collection, scale-safe.
+
+    Size-adaptive (like canonicalize.connected_components): at or below
+    ``local_threshold`` edges the whole recurrence runs driver-side from
+    one bounded collect — identical integer arithmetic, so ranks are
+    bit-identical to the distributed path (parity-tested); each
+    distributed iteration otherwise costs ~6 fixed-overhead Spark jobs.
+    ``local_threshold=0`` forces the distributed path.
     """
+    small = _collect_small_edges(
+        edges, [a_col, b_col, w_col], local_threshold)
+    if small is not None:
+        node_type = dict(edges.dtypes)[a_col]
+        strength: dict = {}
+        adj: list[tuple] = []
+        for r in small:
+            a, b, w = r[0], r[1], int(r[2])
+            adj.append((a, b, w))
+            adj.append((b, a, w))
+            strength[a] = strength.get(a, 0) + w
+            strength[b] = strength.get(b, 0) + w
+        base = ((damp_den - damp_num) * scale) // damp_den
+        ranks = {n: scale for n in strength}
+        for _ in range(iters):
+            in_sum: dict = {}
+            for src, dst, w in adj:
+                c = (ranks[src] // strength[src]) * w
+                in_sum[dst] = in_sum.get(dst, 0) + c
+            ranks = {
+                n: base + (damp_num * in_sum.get(n, 0)) // damp_den
+                for n in ranks}
+        return edges.sparkSession.createDataFrame(
+            list(ranks.items()) or [], f"node {node_type}, rank long")
     und = edges.select(
         F.explode(F.array(
             F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst"),
@@ -156,6 +242,7 @@ def triangle_counts(
     edges: DataFrame,
     a_col: str = "surface_a",
     b_col: str = "surface_b",
+    local_threshold: int = _LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list (``a < b`` per row, no duplicates): ``(node, n_triangles)``.
@@ -178,7 +265,48 @@ def triangle_counts(
     re-execute 2-3x (ReusedExchange does not fire for this shape —
     same measurement as simhash_pairs / canonicalize).  The oriented
     list is checkpointed again because it feeds three join legs below.
+
+    Size-adaptive: at or below ``local_threshold`` edges the identical
+    compact-forward enumeration runs driver-side from one bounded
+    collect (parity-tested vs the distributed path; the two-checkpoint
+    three-join chain otherwise costs ~17 fixed-overhead Spark jobs on a
+    toy graph).  ``local_threshold=0`` forces the distributed path.
     """
+    small = _collect_small_edges(edges, [a_col, b_col], local_threshold)
+    if small is not None:
+        node_type = dict(edges.dtypes)[a_col]
+        pairs = [(r[0], r[1]) for r in small]
+        deg: dict = {}
+        for a, b in pairs:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        oriented = []
+        for a, b in pairs:
+            da, db = deg[a], deg[b]
+            if da < db or (da == db and a < b):
+                oriented.append((a, b, db))
+            else:
+                oriented.append((b, a, da))
+        # closer is a MULTISET (the distributed join would multiply
+        # duplicate oriented rows), matched exactly
+        closer: dict = {}
+        for s, d, _dd in oriented:
+            closer[(s, d)] = closer.get((s, d), 0) + 1
+        nbrs: dict = {}
+        for s, d, dd in oriented:
+            nbrs.setdefault(s, []).append((d, dd))
+        counts: dict = {}
+        for s, lst in nbrs.items():
+            for m, md in lst:
+                for n, nd in lst:
+                    if md < nd or (md == nd and m < n):
+                        c = closer.get((m, n), 0)
+                        if c:
+                            for v in (s, m, n):
+                                counts[v] = counts.get(v, 0) + c
+        out_rows = list(counts.items())
+        return edges.sparkSession.createDataFrame(
+            out_rows or [], f"node {node_type}, n_triangles long")
     e = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
     deg = (
@@ -221,6 +349,7 @@ def kcore_nodes(
     iterations: int = 3,
     a_col: str = "surface_a",
     b_col: str = "surface_b",
+    local_threshold: int = _LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Bounded k-core peeling over an undirected edge list (``a < b``
     per row): ``iterations`` rounds of "drop every node with degree < k,
@@ -243,7 +372,30 @@ def kcore_nodes(
     round's surviving edge list is checkpointed again: round i+1 reads
     round i THREE times, and without the cut the plan tree triples per
     round.
+
+    Size-adaptive: at or below ``local_threshold`` edges the identical
+    peeling runs driver-side from one bounded collect (parity-tested;
+    the per-round checkpoint chain otherwise costs ~20 fixed-overhead
+    Spark jobs on a toy graph).  ``local_threshold=0`` forces the
+    distributed path.
     """
+    small = _collect_small_edges(edges, [a_col, b_col], local_threshold)
+    if small is not None:
+        node_type = dict(edges.dtypes)[a_col]
+        es = [(r[0], r[1]) for r in small]
+        for _ in range(int(iterations)):
+            deg: dict = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            es = [(a, b) for a, b in es
+                  if deg[a] >= int(k) and deg[b] >= int(k)]
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return edges.sparkSession.createDataFrame(
+            list(deg.items()) or [], f"node {node_type}, core_degree long")
     e = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
     for _ in range(int(iterations)):
