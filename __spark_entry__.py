@@ -1105,15 +1105,19 @@ def q_events_funnel(spark, sf_dir):
     p = (e.where(F.col("event_type") == "purchase")
          .join(c, "user_id").where(F.col("us") > F.col("t2"))
          .groupBy("user_id").agg(F.min("us").alias("t3")))
+    # r7: ONE aggregate over the left-join chain instead of a 3-branch
+    # union (each branch re-planned the whole prefix): p ⊆ c ⊆ v by
+    # construction, so count(t2)/count(t3) over v⟕c⟕p equal the branch
+    # counts exactly; stack() restores the long format (identical rows).
+    full = v.join(c, "user_id", "left").join(p, "user_id", "left")
     return (
-        v.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .select(F.lit("1_view").alias("stage"), "n_users")
-        .unionAll(
-            c.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-            .select(F.lit("2_click").alias("stage"), "n_users"))
-        .unionAll(
-            p.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-            .select(F.lit("3_purchase").alias("stage"), "n_users"))
+        full.agg(
+            F.count("t1").cast("long").alias("n1"),
+            F.count("t2").cast("long").alias("n2"),
+            F.count("t3").cast("long").alias("n3"))
+        .select(F.expr(
+            "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3) "
+            "AS (stage, n_users)"))
     )
 
 
@@ -1125,13 +1129,19 @@ def q_orders_cohort_retention(spark, sf_dir):
     engine-exact.  Shape: one min-aggregate per customer, one equi-join
     back (both keyed by custkey — co-partitioned, no broadcast needed at
     any scale), one distinct-count aggregate."""
+    from pyspark.sql import Window
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
         .cast("long").alias("ym"))
-    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    # r7: whole-partition window min instead of groupBy + join-back — the
+    # cohort attaches in the SAME custkey exchange the aggregate needed,
+    # removing the join (guide §2.4: two operations keyed the same way
+    # share one exchange); identical rows.
+    cohort = F.min("ym").over(Window.partitionBy("o_custkey"))
     return (
-        o.join(first, "o_custkey")
+        o.withColumn("cohort_ym", cohort)
         .groupBy(
             F.col("cohort_ym"),
             (F.col("ym") - F.col("cohort_ym")).alias("months_since"))

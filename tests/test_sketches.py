@@ -118,6 +118,24 @@ def test_bloom_bitmap_matches_python_reference(spark):
     assert got == want
 
 
+def test_bloom_words_local_twin_matches_distributed(spark):
+    """The r7 driver-side bloom build (bounded key collect + hashlib)
+    must be word-identical to the distributed explode + bit_or aggregate
+    for integer AND string keys, nulls excluded on both paths."""
+    from pyspark.sql import functions as F
+
+    from text2nkg_spark.operators.sketches import bloom_words
+
+    ints = spark.range(0, 300).select((F.col("id") * 13 + 7).alias("key"))
+    assert bloom_words(ints, "key", bits=512, k=3) == \
+        bloom_words(ints, "key", bits=512, k=3, local_threshold=0)
+
+    strs = spark.createDataFrame(
+        [(f"k{i:03d}",) for i in range(97)] + [(None,)], "key string")
+    assert bloom_words(strs, "key", bits=256, k=2) == \
+        bloom_words(strs, "key", bits=256, k=2, local_threshold=0)
+
+
 def test_bloom_filters_most_nonmembers(spark):
     from pyspark.sql import functions as F
 

@@ -206,11 +206,41 @@ def bloom_words(
     bits: int = 1024,
     k: int = 3,
     seed: int = 42,
+    local_threshold: int = 200_000,
 ) -> list[int]:
     """Build the bloom and return it as the dense ``bits/32``-long word
     list ``bloom_filter_expr`` consumes (missing words filled with 0).
     This collect IS the pattern: the small side's bloom ships to the big
-    side's scan — bits/32 long-typed words = bits/4 bytes (64 KB at 2^18 bits)."""
+    side's scan — bits/32 long-typed words = bits/4 bytes (64 KB at 2^18 bits).
+
+    Size-adaptive (r7): at or below ``local_threshold`` non-null keys of
+    integer/string type the bitmap is built driver-side from one bounded
+    key collect — the same md5/position/word arithmetic (hashlib md5 ==
+    Spark md5 on UTF-8; CAST(BIGINT AS STRING) == str(int)), asserted
+    bit-identical in tests/test_sketches.py — instead of paying the
+    explode + bit_or aggregate's fixed shuffle jobs for a toy key set.
+    Above the threshold (or for key types whose string cast is not
+    trivially reproducible) the distributed map-side aggregate runs
+    unchanged — that is the 1000-executor shape.  ``local_threshold=0``
+    forces it."""
+    if local_threshold > 0:
+        head = (
+            df.select(key_col).where(F.col(key_col).isNotNull())
+            .limit(local_threshold + 1).collect())
+        if len(head) <= local_threshold and all(
+                isinstance(r[0], (int, str)) and not isinstance(r[0], bool)
+                for r in head):
+            import hashlib
+
+            words = [0] * (bits // 32)
+            for r in head:
+                s = str(r[0])
+                for i in range(k):
+                    p = int(hashlib.md5(
+                        f"{s}|{i}|{seed}".encode("utf-8"))
+                        .hexdigest()[:13], 16) % bits
+                    words[p // 32] |= 1 << (p % 32)
+            return words
     bm = {r["word_idx"]: r["bits"]
           for r in bloom_bitmap(df, key_col, bits, k, seed).collect()}
     return [bm.get(i, 0) for i in range(bits // 32)]

@@ -301,7 +301,13 @@ def tfidf_cosine_pairs(
     term — common terms (the quadratic blowup AND the least informative
     signal) never enter the index, the same reasoning as every other
     bounded pair generator here (dedup.cap_bucket_width).  All stages are
-    partial-agg hash groupBys or keyed shuffle joins; nothing collects.
+    partial-agg hash groupBys or keyed shuffle joins; the only driver
+    value is the doc count N (one bounded ``first()``).
+
+    EAGER (r7): the postings table is localCheckpoint-ed at call time (it
+    feeds four consumers — see inline note), so calling this function
+    runs the token scan once and the returned pairs are frozen as of the
+    call — the same contract as simhash_pairs / edit1_fuzzy_pairs.
     Overflow: per-doc ``sum(w^2)`` must stay under 2^63 — shrink
     ``idf_scale`` (even 1 keeps weights exact integers) as N grows; ANSI
     mode fails loud rather than wrapping.
@@ -312,18 +318,30 @@ def tfidf_cosine_pairs(
     ).where(F.length("term") >= min_token_len)
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf"))
-    n_docs = tf.select(F.countDistinct("doc_id").alias("n"))
+    # EAGER (r7): the (doc, term, tf) postings feed FOUR consumers (the
+    # doc count, the document-frequency aggregate, and both sides of the
+    # term self-join through w) — without a lineage cut the token scan +
+    # first groupBy plan quadruples and a fresh query's Catalyst analysis
+    # alone was measured at 11-35 s at sf0.1.  localCheckpoint computes
+    # the scan once; at 100 TB the postings list is linear in corpus
+    # tokens — the same materialize-once shape as simhash_pairs.  Same
+    # call-time-execution contract as the other EAGER pair generators.
+    tf = tf.localCheckpoint()
+    n = tf.select(F.countDistinct("doc_id")).first()[0]
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     vocab = dfreq.where(F.col("df") <= max_df)
     w = (
         tf.join(vocab, "term")
-        .crossJoin(F.broadcast(n_docs))  # one row — the N constant
         .select(
             "doc_id", "term",
+            # N is a driver scalar now (same countDistinct, one bounded
+            # first()); the weight arithmetic is unchanged int64
             (F.col("tf")
-             * F.expr(f"(n * {idf_scale}L) div df")).alias("w"))
+             * F.expr(f"({int(n)} * {idf_scale}L) div df")).alias("w"))
     )
+    # second cut: w feeds norms AND both self-join sides
+    w = w.localCheckpoint()
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("n2"))
     pairs = (
