@@ -94,6 +94,24 @@ def enumerate_triples_subword(
     return np.concatenate(rows, axis=0)
 
 
+# full E^3 (cand_idx, i, j, k) grids cached per entity count — a pure
+# function of E (bounded by mentions per sentence), rebuilt per sentence
+# before r7; the span columns still index per-sentence entities
+_GRID_CACHE: dict[int, tuple] = {}
+
+
+def _full_grid(e: int) -> tuple:
+    got = _GRID_CACHE.get(e)
+    if got is None:
+        idx = np.arange(e, dtype=np.int64)
+        ii = np.repeat(idx, e * e)
+        jj = np.tile(np.repeat(idx, e), e)
+        kk = np.tile(idx, e * e)
+        cand = (ii * e + jj) * e + kk
+        got = _GRID_CACHE[e] = (cand, ii, jj, kk)
+    return got
+
+
 def enumerate_triples(
     entities: np.ndarray,  # (E, 2) int64 spans, sentence order
     max_seq_length: int,
@@ -119,11 +137,7 @@ def enumerate_triples(
     # implies no object/qualifier pruning: a span's marker-shifted right
     # position is at most end + 3, the same bound.
     if bool(keep_sub.all()):
-        idx = np.arange(e, dtype=np.int64)
-        ii = np.repeat(idx, e * e)
-        jj = np.tile(np.repeat(idx, e), e)
-        kk = np.tile(idx, e * e)
-        cand = (ii * e + jj) * e + kk
+        cand, ii, jj, kk = _full_grid(e)
         return np.column_stack(
             [cand, ii, jj, kk,
              starts[ii], ends[ii], starts[jj], ends[jj], starts[kk], ends[kk]])

@@ -73,39 +73,44 @@ def ensemble_tensors(
 
 
 def _nms(results: list[tuple], label_list: list[str]) -> list[tuple]:
-    """Stable-sort + greedy NMS + projection (run_re.py:1422-1493 tail)."""
+    """Stable-sort + greedy NMS + projection (run_re.py:1422-1493 tail).
+
+    r7: the kept-set span/label columns live in preallocated arrays
+    compared on ``[:k]`` slices — the previous list->np.array rebuild per
+    candidate was O(k) allocations each; the comparisons (and therefore
+    the kept set) are unchanged."""
     if not results:
         return []
+    n = len(results)
     scores = np.array([r[0] for r in results])
     order = np.argsort(-scores, kind="stable")
 
-    k_m1s = []; k_m1e = []; k_m2s = []; k_m2e = []  # noqa: E702
-    k_m3s = []; k_m3e = []; k_rel = []; k_q = []  # noqa: E702
+    ks = np.empty((8, n), dtype=np.int64)
+    a1s, a1e, a2s, a2e, a3s, a3e, arel, aq = ks
     kept: list[tuple] = []
+    k = 0
     for oi in order:
         item = results[int(oi)]
         m1, m2, m3 = item[1], item[2], item[5]
-        if kept:
-            a1s = np.array(k_m1s); a1e = np.array(k_m1e)  # noqa: E702
-            a2s = np.array(k_m2s); a2e = np.array(k_m2e)  # noqa: E702
-            a3s = np.array(k_m3s); a3e = np.array(k_m3e)  # noqa: E702
-            ov1 = ((a1s <= m1[0]) & (m1[0] <= a1e)) | (
-                (m1[0] <= a1s) & (a1s <= m1[1]))
-            ov2 = ((a2s <= m2[0]) & (m2[0] <= a2e)) | (
-                (m2[0] <= a2s) & (a2s <= m2[1]))
-            ov3 = ((a3s <= m3[0]) & (m3[0] <= a3e)) | (
-                (m3[0] <= a3s) & (a3s <= m3[1]))
+        if k:
+            ov1 = ((a1s[:k] <= m1[0]) & (m1[0] <= a1e[:k])) | (
+                (m1[0] <= a1s[:k]) & (a1s[:k] <= m1[1]))
+            ov2 = ((a2s[:k] <= m2[0]) & (m2[0] <= a2e[:k])) | (
+                (m2[0] <= a2s[:k]) & (a2s[:k] <= m2[1]))
+            ov3 = ((a3s[:k] <= m3[0]) & (m3[0] <= a3e[:k])) | (
+                (m3[0] <= a3s[:k]) & (a3s[:k] <= m3[1]))
             clash = (
-                (np.array(k_rel) == item[3]) & ov1 & ov2
-                & (np.array(k_q) == item[6]) & ov3
+                (arel[:k] == item[3]) & ov1 & ov2
+                & (aq[:k] == item[6]) & ov3
             ).any()
             if clash:
                 continue
         kept.append(item)
-        k_m1s.append(m1[0]); k_m1e.append(m1[1])  # noqa: E702
-        k_m2s.append(m2[0]); k_m2e.append(m2[1])  # noqa: E702
-        k_m3s.append(m3[0]); k_m3e.append(m3[1])  # noqa: E702
-        k_rel.append(item[3]); k_q.append(item[6])  # noqa: E702
+        a1s[k] = m1[0]; a1e[k] = m1[1]  # noqa: E702
+        a2s[k] = m2[0]; a2e[k] = m2[1]  # noqa: E702
+        a3s[k] = m3[0]; a3e[k] = m3[1]  # noqa: E702
+        arel[k] = item[3]; aq[k] = item[6]  # noqa: E702
+        k += 1
 
     out = []
     for score, m1, m2, pred, q_score, m3, q_pred in kept:
@@ -113,6 +118,22 @@ def _nms(results: list[tuple], label_list: list[str]) -> list[tuple]:
             (m1[0], m1[1], m2[0], m2[1], label_list[pred],
              m3[0], m3[1], label_list[q_pred], score, q_score))
     return out
+
+
+# i<j<k anchor index triples per entity count, cached: the meshgrid +
+# mask build was ~25% of a small sentence's decode and is a pure function
+# of E (bounded by max mentions per sentence, so the cache stays tiny)
+_ANCHOR_CACHE: dict[int, tuple] = {}
+
+
+def _anchor_triples(e: int) -> tuple:
+    got = _ANCHOR_CACHE.get(e)
+    if got is None:
+        idx = np.arange(e, dtype=np.int64)
+        ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
+        sel = (ii < jj) & (jj < kk)
+        got = _ANCHOR_CACHE[e] = (ii[sel], jj[sel], kk[sel])
+    return got
 
 
 def decode_sentence_fast(
@@ -136,10 +157,7 @@ def decode_sentence_fast(
             strict=strict)
     v, qc, _present = ensemble_tensors(e, cand, rel_lg, q_lg, space)
 
-    idx = np.arange(e, dtype=np.int64)
-    ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
-    sel = (ii < jj) & (jj < kk)
-    ii, jj, kk = ii[sel], jj[sel], kk[sel]  # lexicographic anchor order
+    ii, jj, kk = _anchor_triples(e)  # lexicographic anchor order
 
     pred = np.argmax(v[ii, jj, kk], axis=-1)
     q_pred = np.argmax(qc[ii, jj, kk], axis=-1)

@@ -57,8 +57,14 @@ def get_spark(
                 shuffle_partitions = 32
         b = (
             b.master(master)
+            # local mode: the driver heap IS the whole cluster's executor
+            # memory — 32 concurrent tasks in one 8 GiB JVM showed
+            # multi-second GC spikes in contended bench runs; 16 GiB is
+            # still an eighth of the 128 GiB host.  Env-overridable, and
+            # never touched under spark-submit (the launcher sizes real
+            # executors there).
             .config("spark.driver.memory",
-                    os.environ.get("SPARK_DRIVER_MEM", "8g"))
+                    os.environ.get("SPARK_DRIVER_MEM", "16g"))
             .config("spark.ui.enabled", "false")
         )
     if shuffle_partitions is not None:
@@ -68,6 +74,11 @@ def get_spark(
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash join when its
+        # size conditions hold (sort-merge stays the fallback; AQE still
+        # rules out unsafe builds at runtime) — skips both sort passes on
+        # keyed joins at every scale, not a local-only tune
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
