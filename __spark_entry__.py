@@ -1279,7 +1279,10 @@ def q_lineitem_salted_join(spark, sf_dir):
         "l_extendedprice", "l_discount")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderpriority")
-    j = salted_equi_join(li, o, "o_orderkey", n_salts=8,
+    # r7: 4 salts, not 8 — replication cost is |orders| * n_salts at any
+    # scale (joins.py docstring) and 4 still splits a hot key four ways;
+    # results are salt-count-invariant (the oracle is the unsalted join)
+    j = salted_equi_join(li, o, "o_orderkey", n_salts=4,
                          salt_src="l_linenumber")
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -2140,80 +2143,24 @@ def q_events_window_frames(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS EVIDENCE: the driver's correctness snapshot covers the
-    # FIRST 50 entries only.  Rotation policy (VERDICT r4 ask #1, r5 ask
-    # #3): keep every oracle entry's latest driver row <=2 rounds old.
-    # Round-6 rotation: the 13 entries whose latest driver rows are r4
-    # (displaced by r5's rotation) lead the window; every entry whose
-    # engine or oracle text changed this round (the pinned-whitespace
-    # normalize sweep + the conditional-broadcast rekey) stays inside the
-    # window so the change is driver-re-verified; the 21 round-6-NEW
-    # entries fill the rest.  Every yielded slot comes from an entry
-    # that is BOTH r5-green and untouched this round (the full displacee
-    # list sits at the past-the-window markers below; all rotate back
-    # r7 — with 82 oracle entries over a 50-slot window each entry can
-    # be refreshed every 2 rounds, exactly the policy bound).  Every
-    # oracle-backed entry keeps its oracle regardless of position; the
-    # harness-mirror test (tests/test_entry_contract.py) still compares
-    # ALL of them, at sf0.001 in CI and sf0.01 via
+    # FIRST 50 entries only.  Rotation policy (VERDICT r4 #1 / r5 #3 /
+    # r6 #1): keep every oracle entry's latest driver row <=2 rounds old.
+    # Round-7 rotation (the optimization round): the 32 oracle entries
+    # whose latest driver rows are r5 lead (the exact displacee list from
+    # r6's markers), every query whose ENGINE changed in this round's
+    # optimization work sits inside the window so the driver re-verifies
+    # the change, and r6-green join-shaped entries fill the rest.  With
+    # 82 oracles over a 50-slot window this closes the freshness debt:
+    # after r7 no oracle entry is more than one round stale.  Contract
+    # growth is FROZEN at 91 entries / 82 oracles (VERDICT r6 #1).
+    # Every oracle-backed entry keeps its oracle regardless of position;
+    # the harness-mirror test (tests/test_entry_contract.py) still
+    # compares ALL of them, at sf0.001 in CI and sf0.01 via
     # SPARK_GRAFT_CONTRACT_SF sweeps.
     return {
-        # -- latest driver rows are r4 (rotated back in) ----------------
-        "nkg_doc_assembly": q_nkg_doc_assembly,
-        "nkg_turn_invariant": q_nkg_turn_invariant,
-        "nkg_mentions": q_nkg_mentions,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "orders_rollup": q_orders_rollup,
-        "window_functions": q_window_functions,
-        "scalar_functions": q_scalar_functions,
-        "nkg_gold_compacted": q_nkg_gold_compacted,
-        "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
-        # -- changed this round (conditional-broadcast rekey; pinned
-        # whitespace class in engine + oracle) — driver re-verifies ------
-        "nkg_entity_cooccurrence": q_nkg_entity_cooccurrence,
-        "text_repetition": q_text_repetition,
-        "text_contamination": q_text_contamination,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_signature": q_dedup_minhash_signature,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_token_counts": q_text_token_counts,
-        "text_fingerprint": q_text_fingerprint,
-        "text_tfidf_topk": q_text_tfidf_topk,
-        "corpus_prep_pipeline": q_corpus_prep_pipeline,
-        "sketch_distinct_tokens": q_sketch_distinct_tokens,
-        "sketch_bottomk_sample": q_sketch_bottomk_sample,
-        # -- NEW this round (need first driver rows) --------------------
-        "orders_profile": q_orders_profile,
-        "events_value_histogram": q_events_value_histogram,
-        "events_window_frames": q_events_window_frames,
-        "events_scd2": q_events_scd2,
-        "events_interval_overlap": q_events_interval_overlap,
-        "nkg_kcore": q_nkg_kcore,
-        "complex_type_functions": q_complex_type_functions,
-        "events_json_stats": q_events_json_stats,
-        "events_funnel": q_events_funnel,
-        "orders_cohort_retention": q_orders_cohort_retention,
-        "nkg_pagerank": q_nkg_pagerank,
-        "similarity_tfidf_cosine": q_similarity_tfidf_cosine,
-        "orders_merge_upsert": q_orders_merge_upsert,
-        "events_sliding_window": q_events_sliding_window,
-        "lineitem_salted_join": q_lineitem_salted_join,
-        "text_pii_scrub": q_text_pii_scrub,
-        "nkg_triangles": q_nkg_triangles,
-        "events_resample_ffill": q_events_resample_ffill,
-        "events_transitions": q_events_transitions,
-        "nkg_fuzzy_surfaces": q_nkg_fuzzy_surfaces,
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        # ---------------- past the 50-entry driver window ----------------
-        # displaced late round-6 for the seven newest entries (all seven
-        # displacees r5-green and untouched this round; rotate back r7):
+        # -- latest driver rows are r5 (the full 32-entry displacee set
+        #    from r6's rotation — every oracle entry back to <=1 round
+        #    stale, closing the r6 freshness debt) -----------------------
         "nkg_gold_extract": q_nkg_gold_extract,
         "nkg_gold_unidirect": q_nkg_gold_unidirect,
         "nkg_entities": q_nkg_entities,
@@ -2221,14 +2168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nkg_gold_role_extract": _q_gold_multi("role"),
         "nkg_gold_hypergraph_extract": _q_gold_multi("hypergraph"),
         "nkg_metrics_table": q_nkg_metrics_table,
-        # oracle-backed entries with fresh r5 driver rows, untouched this
-        # round — their oracles still run in the pytest mirror (13 slots
-        # yielded to the NEW entries above: grouping_sets, anti_join,
-        # except_all, sample_deterministic, sample_stratified,
-        # lineitem_unpivot, orders_pivot, orders_cube, nkg_gold_pipeline,
-        # nkg_gold_comp_match, nkg_label_vocab, nkg_fact_manifest,
-        # nkg_gold_pruned, multimodal_features — all r5-green and
-        # untouched; rotate back r7)
         "multimodal_features": q_multimodal_features,
         "nkg_gold_pruned": q_nkg_gold_pruned,
         "nkg_gold_pipeline": q_nkg_gold_pipeline,
@@ -2254,6 +2193,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_neardup": q_emb_neardup,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        # -- engine changed this optimization round (size-adaptive
+        #    graph/canonicalize twins, checkpointed tfidf postings,
+        #    funnel/cohort/revenue reshapes, salted-join fixes) — the
+        #    driver re-verifies every touched query ----------------------
+        "revenue_by_nation": q_revenue_by_nation,
+        "nkg_entity_cooccurrence": q_nkg_entity_cooccurrence,
+        "nkg_pagerank": q_nkg_pagerank,
+        "nkg_triangles": q_nkg_triangles,
+        "nkg_kcore": q_nkg_kcore,
+        "events_funnel": q_events_funnel,
+        "orders_cohort_retention": q_orders_cohort_retention,
+        "similarity_tfidf_cosine": q_similarity_tfidf_cosine,
+        "lineitem_salted_join": q_lineitem_salted_join,
+        # -- r6-green fill: join-shaped entries that exercise the new
+        #    session defaults (shuffled-hash preference, 16g local heap) --
+        "orders_merge_upsert": q_orders_merge_upsert,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "events_interval_overlap": q_events_interval_overlap,
+        "events_resample_ffill": q_events_resample_ffill,
+        "events_sliding_window": q_events_sliding_window,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "events_scd2": q_events_scd2,
+        # ---------------- past the 50-entry driver window ----------------
+        # all r6-green and untouched this round (their oracles still run
+        # in the pytest mirror at every sf; rotate back r8 if there is one)
+        "nkg_doc_assembly": q_nkg_doc_assembly,
+        "nkg_turn_invariant": q_nkg_turn_invariant,
+        "nkg_mentions": q_nkg_mentions,
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "orders_rollup": q_orders_rollup,
+        "window_functions": q_window_functions,
+        "scalar_functions": q_scalar_functions,
+        "nkg_gold_compacted": q_nkg_gold_compacted,
+        "nkg_gold_compacted_conv": q_nkg_gold_compacted_conv,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signature": q_dedup_minhash_signature,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_repetition": q_text_repetition,
+        "text_contamination": q_text_contamination,
+        "text_pii_scrub": q_text_pii_scrub,
+        "sketch_distinct_tokens": q_sketch_distinct_tokens,
+        "sketch_bottomk_sample": q_sketch_bottomk_sample,
+        "orders_profile": q_orders_profile,
+        "events_value_histogram": q_events_value_histogram,
+        "events_window_frames": q_events_window_frames,
+        "complex_type_functions": q_complex_type_functions,
+        "events_json_stats": q_events_json_stats,
+        "events_transitions": q_events_transitions,
+        "nkg_fuzzy_surfaces": q_nkg_fuzzy_surfaces,
         # rows-only entries (hash/mini-model families; driver rows in
         # r4/r5 artifacts; determinism + pinned counts pytest-asserted)
         "nkg_extract_facts": q_nkg_extract_facts,

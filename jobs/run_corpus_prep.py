@@ -98,8 +98,13 @@ def main() -> None:
 
     # docs with no language ID form their own stratum ('und') so the
     # rebalance keeps them — a NULL key would crash the rate sort and a
-    # null-unsafe == would silently drop them at default_rate=0
-    d = d.withColumn("lang", F.coalesce(F.col("lang"), F.lit("und")))
+    # null-unsafe == would silently drop them at default_rate=0.  A
+    # corpus with no lang column at all gets the constant stratum
+    # (ADVICE r6: this used to raise an opaque AnalysisException).
+    d = d.withColumn(
+        "lang",
+        F.coalesce(F.col("lang"), F.lit("und")) if "lang" in d.columns
+        else F.lit("und"))
 
     # 3) quality gate, then exact dedup AMONG SURVIVORS (window-min
     # keeper: one shuffle, no join; gating first means a low-quality

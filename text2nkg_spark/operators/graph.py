@@ -166,9 +166,12 @@ def pagerank_iterations(
     Integer division BEFORE the weight multiply keeps every per-edge
     contribution <= r_i(u), so contributions never overflow regardless of
     edge weight.  Per-node in-sums are bounded by the total rank mass
-    N * scale: pick ``scale <= 9e18 / N`` for int64 safety (the default
-    1e12 is safe to ~9 million nodes; shrink it for larger graphs — ranks
-    only need enough integer headroom to separate, not absolute value).
+    N * scale, and the update multiplies the in-sum by ``damp_num``
+    BEFORE dividing, so int64 safety requires
+    ``scale <= 9.2e18 / (damp_num * N)`` — the default 1e12 with
+    damp_num=85 is safe to ~108k nodes (ADVICE r6 corrected the earlier
+    9-million-node claim); shrink ``scale`` for larger graphs — ranks
+    only need enough integer headroom to separate, not absolute value.
 
     EAGER: the loop-invariant adjacency (edges + strengths) is
     localCheckpoint-ed once at call time — otherwise iteration i's plan

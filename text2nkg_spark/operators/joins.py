@@ -30,18 +30,30 @@ def salted_equi_join(
     The salt on the skewed side derives deterministically from
     ``salt_src`` — a REQUIRED column whose values spread within each key
     (a line number, an event id); there is no generic default because
-    hashing "all columns" silently breaks when callers add one.
-    ``other`` is replicated ``n_salts`` times via an inline explode.
-    Replication cost is |other| * n_salts — use for dimension-vs-fact
-    skew, not for two huge skewed sides (there, pre-aggregate or isolate
-    the hot keys first).
+    hashing "all columns" silently breaks when callers add one.  A NULL
+    ``salt_src`` value salts to 0 (crc32 of NULL is NULL — without the
+    coalesce such a row would silently vanish from an inner join even
+    when its key matches; ADVICE r6).  ``other`` is replicated
+    ``n_salts`` times via an inline explode.  Replication cost is
+    |other| * n_salts — use for dimension-vs-fact skew, not for two huge
+    skewed sides (there, pre-aggregate or isolate the hot keys first).
+
+    ``how`` is restricted to inner/left: for right/full joins the
+    unmatched ``other`` rows would surface once per salt replica
+    (n_salts duplicates), violating the plain-join contract.
     """
     if salt_src is None:
         raise ValueError(
             "salt_src is required: a skewed-side column whose values "
             "spread within each key (e.g. a line number or event id)")
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_equi_join supports how='inner'/'left' only, got "
+            f"{how!r}: right/full would emit unmatched replicated-side "
+            "rows once per salt")
     s = skewed.withColumn(
-        "_salt", (F.crc32(F.col(salt_src).cast("string"))
+        "_salt", (F.coalesce(F.crc32(F.col(salt_src).cast("string")),
+                             F.lit(0))
                   % n_salts).cast("int"))
     o = other.withColumn(
         "_salt", F.explode(F.array(

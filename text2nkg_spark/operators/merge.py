@@ -70,6 +70,12 @@ def snapshot_diff(
         raise ValueError(
             f"snapshot_diff: column mismatch {base.columns} vs "
             f"{new.columns}")
+    if not val_cols:
+        raise ValueError(
+            "snapshot_diff needs at least one non-key column: a "
+            "keys-only table has no 'U' semantics (and struct() of zero "
+            "fields fails analysis) — diff key existence directly "
+            "instead (ADVICE r6)")
     b = base.select(
         *[F.col(k).alias(f"_bk_{k}") for k in keys],
         F.struct(*val_cols).alias("_bv"))
