@@ -213,3 +213,40 @@ def test_fast_decode_equals_loop(e, seed):
     fast = decode_sentence_fast(ents, cand, rel_lg, q_lg, space)
     loop = decode_sentence_arrays(ents, cand, rel_lg, q_lg, space)
     assert fast == loop
+
+
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_batched_decode_matches(seed):
+    """decode_sentences_batch (r7) == per-sentence decode_sentence for a
+    mixed bag of entity counts (grouped fast path + degenerate
+    fallbacks), bit-for-bit including scores and NMS order."""
+    from text2nkg_spark.decode_core import (
+        decode_sentence, decode_sentences_batch)
+
+    space = _space()
+    rng = np.random.default_rng(2000 + seed)
+    items = []
+    rel_chunks, q_chunks = [], []
+    pos = 0
+    for si, e in enumerate([3, 5, 4, 2, 6, 3, 1, 12, 5, 4]):
+        ents = _random_entities(rng, e)
+        cand = enumerate_triples(ents, 256)
+        rel = log_softmax(hash_logits(
+            si, 7, cand[:, 4:10], space.num_classes, seed, 0)).astype(
+            np.float32)
+        q = log_softmax(hash_logits(
+            si, 7, cand[:, 4:10], space.num_classes, seed, 1)).astype(
+            np.float32)
+        items.append((ents, cand, pos, pos + cand.shape[0]))
+        rel_chunks.append(rel)
+        q_chunks.append(q)
+        pos += cand.shape[0]
+    rel_all = np.concatenate(rel_chunks)
+    q_all = np.concatenate(q_chunks)
+
+    got = decode_sentences_batch(items, rel_all, q_all, space)
+    for (ents, cand, lo, hi), preds in zip(items, got):
+        want = decode_sentence(
+            ents, cand, rel_all[lo:hi], q_all[lo:hi], space,
+            same_entity=False, strict=True)
+        assert preds == want

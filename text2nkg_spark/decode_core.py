@@ -208,6 +208,144 @@ def decode_sentence_fast(
     return _nms(results, space.label_list)
 
 
+def decode_sentences_batch(
+    items: list,           # [(entities, cand, lo, hi), ...] per sentence
+    rel_all: np.ndarray,   # (sum N_i, C) logits, sentence-sliced by lo:hi
+    q_all: np.ndarray,
+    space: LabelSpace,
+    same_entity: bool = False,
+    strict: bool = True,
+    unidirect: bool = False,
+) -> list:
+    """Batched twin of :func:`decode_sentence` over many sentences (r7).
+
+    Sentences eligible for the vectorized fast path (full E^3 candidate
+    grid, same_entity off) are grouped by entity count and decoded as
+    ONE (B, E, E, E, C) tensor pipeline: in the full-grid case the
+    candidate rows are exactly lexicographic (i, j, k) order, so the
+    per-sentence scatter is a pure reshape, and every ensemble addition,
+    argmax, direction-normalization mask and score gather is the same
+    elementwise operation decode_sentence_fast performs — just across a
+    leading batch axis, so the ~30 numpy dispatches per sentence
+    amortize over the group.  np.nonzero flattens row-major, so within
+    each sentence candidate order (and therefore NMS input order) is
+    identical to the per-sentence path; outputs are bit-identical
+    (tests/test_decode_parity.py::test_batched_decode_matches).
+    Ineligible sentences fall back to the per-sentence decoders.
+    Returns one preds list per input item, in input order.
+    """
+    out: list = [None] * len(items)
+    if same_entity or unidirect:
+        for ix, (ents, cand, lo, hi) in enumerate(items):
+            out[ix] = decode_sentence(
+                ents, cand, rel_all[lo:hi], q_all[lo:hi], space,
+                same_entity, strict, unidirect)
+        return out
+    groups: dict[int, list[int]] = {}
+    for ix, (ents, cand, lo, hi) in enumerate(items):
+        e = ents.shape[0]
+        if e >= 3 and cand.shape[0] == e * e * e:
+            groups.setdefault(e, []).append(ix)
+        else:
+            out[ix] = decode_sentence_arrays(
+                ents, cand, rel_all[lo:hi], q_all[lo:hi], space,
+                same_entity=False, strict=strict)
+
+    c = space.num_classes
+    sw = space.swap_index()
+    num_label = space.num_label
+    is_k = space.is_k()
+    is_r = space.is_r()
+    label_list = space.label_list
+
+    for e, idxs in groups.items():
+        nb = len(idxs)
+        e3 = e * e * e
+        s = np.empty((nb, e3, c), dtype=np.float64)
+        q = np.empty((nb, e3, c), dtype=np.float64)
+        for b, ix in enumerate(idxs):
+            _ents, _cand, lo, hi = items[ix]
+            s[b] = rel_all[lo:hi]
+            q[b] = q_all[lo:hi]
+        s = s.reshape(nb, e, e, e, c)
+        q = q.reshape(nb, e, e, e, c)
+
+        def t(x: np.ndarray, perm: tuple[int, int, int]) -> np.ndarray:
+            return np.transpose(
+                x, (0,) + tuple(p + 1 for p in perm) + (4,))
+
+        # identical term order to ensemble_tensors (bit parity)
+        v = s.copy()
+        v += t(s, (1, 0, 2))[..., sw]
+        v += t(q, (0, 2, 1))
+        v += t(q, (2, 0, 1))
+        v += t(q, (1, 2, 0))[..., sw]
+        v += t(s, (2, 1, 0))
+        qc = q.copy()
+        qc += t(q, (1, 0, 2))
+        qc += t(s, (0, 2, 1))
+        qc += t(s, (2, 0, 1))[..., sw]
+        qc += t(s, (1, 2, 0))
+        qc += t(q, (2, 1, 0))[..., sw]
+
+        ii, jj, kk = _anchor_triples(e)
+        pred = np.argmax(v[:, ii, jj, kk, :], axis=-1)
+        q_pred = np.argmax(qc[:, ii, jj, kk, :], axis=-1)
+        keep = (pred > 0) & (q_pred > 0)
+        bs, asel = np.nonzero(keep)  # row-major: per-sentence order kept
+        if bs.size == 0:
+            for ix in idxs:
+                out[ix] = []
+            continue
+        a1 = ii[asel].copy()
+        a2 = jj[asel].copy()
+        a3 = kk[asel].copy()
+        pr = pred[bs, asel]
+        qp = q_pred[bs, asel]
+
+        m = pr >= num_label
+        pr[m] = pr[m] - num_label + 1
+        a1[m], a2[m] = a2[m], a1[m].copy()
+
+        m = qp >= num_label
+        t1, t2, t3 = a3[m], a1[m].copy(), a2[m].copy()
+        a1[m], a2[m], a3[m] = t1, t2, t3
+        tmp = pr[m].copy()
+        pr[m] = qp[m] - num_label + 1
+        qp[m] = tmp
+
+        m = is_k[pr]
+        drop = m & is_k[qp]
+        m = m & ~drop
+        a2[m], a3[m] = a3[m], a2[m].copy()
+        tmp = pr[m].copy()
+        pr[m] = qp[m]
+        qp[m] = tmp
+
+        drop = drop | (is_r[pr] & is_r[qp])
+        okidx = np.nonzero(~drop)[0]
+
+        iia, jja, kka = ii[asel], jj[asel], kk[asel]
+        sc = v[bs, iia, jja, kka, pr]
+        qsc = qc[bs, iia, jja, kka, qp]
+
+        bs_ok = bs[okidx]
+        for b, ix in enumerate(idxs):
+            lo_b = np.searchsorted(bs_ok, b, side="left")
+            hi_b = np.searchsorted(bs_ok, b, side="right")
+            if lo_b == hi_b:
+                out[ix] = []
+                continue
+            spans = [tuple(int(x) for x in row) for row in items[ix][0]]
+            results = [
+                (float(sc[w]), spans[a1[w]], spans[a2[w]], int(pr[w]),
+                 float(qsc[w]), spans[a3[w]], int(qp[w]))
+                for w in okidx[lo_b:hi_b]
+            ]
+            out[ix] = _nms(results, label_list)
+    return out
+
+
 def decode_sentence_arrays(
     entities: np.ndarray,  # (E, 2) int64 spans in sentence order
     cand: np.ndarray,      # (N, 10) int64, enumeration order

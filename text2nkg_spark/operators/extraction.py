@@ -30,7 +30,8 @@ import pandas as pd
 
 from text2nkg_spark.candidates import enumerate_triples
 from text2nkg_spark.config import PipelineConfig
-from text2nkg_spark.decode_core import decode_sentence
+from text2nkg_spark.decode_core import (
+    decode_sentence, decode_sentences_batch)
 from text2nkg_spark.labels import LabelSpace
 from text2nkg_spark.scoring_core import (
     gold_logits, gold_orderings, hash_logits, hash_logits_batch, log_softmax)
@@ -260,12 +261,22 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
             else:
                 rel_all = q_all = None
 
-            # phase 3 — decode per sentence
-            for r, doc_id, ents, cand, lo, hi in sent:
+            # phase 3 — decode: hash-scored batches go through the
+            # batched fast decoder (one tensor pipeline per entity-count
+            # group — bit-identical outputs, see decode_sentences_batch),
+            # other scorers keep the per-sentence loop
+            batched = None
+            if rel_all is not None:
+                batched = decode_sentences_batch(
+                    [(s_[2], s_[3], s_[4], s_[5]) for s_ in sent],
+                    rel_all, q_all, space,
+                    same_entity=cfg.same_entity, strict=strict,
+                    unidirect=cfg.eval_unidirect)
+            for si, (r, doc_id, ents, cand, lo, hi) in enumerate(sent):
                 conv_id = conv_ids[r]
                 turn_idx = int(turn_idxs[r])
-                if rel_all is not None:
-                    rel_lg, q_lg = rel_all[lo:hi], q_all[lo:hi]
+                if batched is not None:
+                    preds = batched[si]
                 else:
                     gold = _gold_rel_tuples(gold_col[r]) if use_gold else None
                     toks = ((text_col[r].split(" ") if flat
@@ -273,9 +284,9 @@ def extract_facts_fused(df, cfg: PipelineConfig, space: LabelSpace):
                             if cfg.scorer == "model" else None)
                     rel_lg, q_lg = _sentence_logits(
                         cfg, space, doc_id, turn_idx, cand, gold, ents, toks)
-                preds = decode_sentence(
-                    ents, cand, rel_lg, q_lg, space, cfg.same_entity,
-                    strict=strict, unidirect=cfg.eval_unidirect)
+                    preds = decode_sentence(
+                        ents, cand, rel_lg, q_lg, space, cfg.same_entity,
+                        strict=strict, unidirect=cfg.eval_unidirect)
                 if not preds:
                     continue
                 tokens = (text_col[r].split(" ") if flat
