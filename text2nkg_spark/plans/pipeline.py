@@ -67,10 +67,12 @@ def prepare_sentences(
     output is large enough that AQE keeps the parallelism anyway, so
     callers pass this for small-batch / joined inputs."""
     df = detect_mentions(transcripts, predicate=predicate)
+    # expr strings, not lambda Columns: each lambda costs dozens of py4j
+    # round-trips of driver-side construction (see mentions.py note)
     df = df.select(
         "conv_id", "turn_idx", "text",
-        F.transform("mentions", lambda m: m["start"]).alias("m_starts"),
-        F.transform("mentions", lambda m: m["end"]).alias("m_ends"),
+        F.expr("transform(mentions, m -> m.start)").alias("m_starts"),
+        F.expr("transform(mentions, m -> m.end)").alias("m_ends"),
     )
     if gold is not None:
         # ship gold as ONE JSON string per row, not a nested array<struct>:
