@@ -461,7 +461,7 @@ def embedding_cosine_pairs(
     norm = F.sqrt(F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x))
     bucket_cols = (
-        [hyperplane_bucket(F.col(vec_col), lsh_planes, lsh_seed,
+        [hyperplane_bucket(vec_col, lsh_planes, lsh_seed,
                            lsh_dim).alias("_bkt")]
         if lsh_planes > 0 else [])
     base = emb.select(

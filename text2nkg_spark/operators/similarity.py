@@ -112,11 +112,30 @@ def _plane_projection(vec_col, p: int, seed: int, dim: int | None = None):
     md5 path (any length, no caller knowledge needed).
     """
     if dim is not None:
-        w = F.array(*[F.lit(_weight_py(p, i, seed)) for i in range(dim)])
+        if isinstance(vec_col, str):
+            # SQL-text fast path (r7): the lambda-Column fold costs
+            # ~15 py4j round-trips per plane of driver-side construction
+            # (~1 s per embedding query at 8 planes); one expr string
+            # parses JVM-side in a single call and resolves to the SAME
+            # fold (identical casts, identical left-to-right float sums
+            # — the weights are exact integers < 2^52, 'D'-suffixed so
+            # they parse as the identical doubles).  Oracle parity
+            # re-verified on every embedding entry.
+            w_txt = ",".join(
+                repr(_weight_py(p, i, seed)) + "D" for i in range(dim))
+            return F.expr(
+                f"aggregate(zip_with(`{vec_col}`, array({w_txt}), "
+                "(x, wi) -> CAST(x AS DOUBLE) * wi), "
+                "0.0D, (a, x) -> a + x)")
+        # ONE ArrayType literal, not F.array(*[F.lit(w) ...]) — a single
+        # py4j call and a single Literal node (same doubles)
+        w = F.lit([_weight_py(p, i, seed) for i in range(dim)])
         return F.aggregate(
             F.zip_with(vec_col, w, lambda x, wi: x.cast("double") * wi),
             F.lit(0.0), lambda a, x: a + x,
         )
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
 
     def weight(i):
         key = F.concat_ws(
@@ -143,6 +162,8 @@ def _dim_guard(vec_col, dim: int | None, expr):
     job with a null-message raise."""
     if dim is None:
         return expr
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     return F.when(
         vec_col.isNull() | (F.size(vec_col) == dim), expr
     ).otherwise(
@@ -195,7 +216,7 @@ def _margin_probes(vec_col, planes: int, seed: int, multi_probe: int,
             F.lit(p).alias("p"))
         for p in range(planes)]))
     # 1 << plane via array lookup (shiftleft needs a literal shift amount)
-    pow2 = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
+    pow2 = F.lit([1 << p for p in range(planes)]).cast("array<bigint>")
     flips = [
         base.bitwiseXOR(F.element_at(
             pow2, F.element_at(order, i + 1)["p"] + 1))
@@ -228,12 +249,12 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        hyperplane_bucket(F.col(vec_col), planes, seed, dim)
+        hyperplane_bucket(vec_col, planes, seed, dim)
         .alias("bucket"))
     probes = (
-        _margin_probes(F.col(vec_col), planes, seed, multi_probe, dim)
+        _margin_probes(vec_col, planes, seed, multi_probe, dim)
         if multi_probe > 0
-        else F.array(hyperplane_bucket(F.col(vec_col), planes, seed, dim)))
+        else F.array(hyperplane_bucket(vec_col, planes, seed, dim)))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
